@@ -1,0 +1,100 @@
+"""Benchmark: stage-1 TRIS (CLIP-RN50) inference throughput at 320px on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md), and this
+environment has no CUDA GPU to measure the PyTorch reference on, so
+``vs_baseline`` reports the ratio against a recorded baseline in
+``BASELINE.json`` under ``published.pytorch_images_per_sec`` when present,
+else null.
+
+Env knobs:
+  TRIS_BENCH_BATCH   (default 64)
+  TRIS_BENCH_SIZE    (default 320)
+  TRIS_BENCH_DTYPE   (default bf16; 'f32' for full precision)
+  TRIS_BENCH_ITERS   (default 20)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 64))
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 20))
+    dtype = jnp.bfloat16 if os.environ.get("TRIS_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    model = TRISStage1(Stage1Config(backbone="RN50", hidden_dim=1024, txt_length=20), dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((batch, size, size, 3)), jnp.float32)
+    word_ids = np.zeros((batch, 20), np.int32)
+    word_ids[:, 0], word_ids[:, 1], word_ids[:, 2] = 49406, 786, 49407
+    word_ids = jnp.asarray(word_ids)
+
+    variables = jax.jit(lambda k: model.init(k, image, word_ids, train=False))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def forward(variables, image, word_ids):
+        return model.apply(variables, image, word_ids, train=False)
+
+    # Pre-stage distinct device-resident inputs (exclude host->device transfer
+    # from the measurement, and defeat any transparent duplicate-dispatch
+    # caching in the runtime).
+    n_inputs = 4
+    keys = jax.random.split(jax.random.PRNGKey(1), n_inputs)
+    images = [jax.random.normal(k, (batch, size, size, 3), jnp.float32) for k in keys]
+    jax.block_until_ready(images)
+
+    @jax.jit
+    def step_checksum(acc, out):
+        return acc + out.mean()
+
+    # compile + warmup (fetch a value: on relayed runtimes block_until_ready
+    # can return before remote execution completes, so sync via fetch)
+    acc = jnp.zeros((), jnp.float32)
+    acc = step_checksum(acc, forward(variables, images[0], word_ids))
+    acc = step_checksum(acc, forward(variables, images[1], word_ids))
+    float(acc)
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(iters):
+        acc = step_checksum(acc, forward(variables, images[i % n_inputs], word_ids))
+    float(acc)  # forces completion of every iteration
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    n_chips = jax.device_count()
+    ips_per_chip = ips / n_chips
+
+    vs = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+            published = json.load(f).get("published", {})
+        ref = published.get("pytorch_images_per_sec")
+        if ref:
+            vs = ips_per_chip / float(ref)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "stage1_rn50_320px_inference_throughput_per_chip",
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

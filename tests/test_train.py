@@ -1,0 +1,135 @@
+"""Train-step tests: one full optimization step on a virtual 8-device DP mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax.traverse_util import flatten_dict
+
+from tests.helpers import TINY_RESNET_CLIP, TINY_VIT_CLIP
+from tris_tpu.models.clip import CLIP
+from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+from tris_tpu.models.stage2 import Stage2Config, TRISStage2
+from tris_tpu.parallel.mesh import create_mesh, replicate_tree, shard_batch
+from tris_tpu.train import stage1 as train_stage1
+from tris_tpu.train import stage2 as train_stage2
+from tris_tpu.train.state import create_train_state, make_optimizer, poly_schedule
+
+
+def _tree_delta(a, b):
+    fa, fb = flatten_dict(a), flatten_dict(b)
+    return {k: float(np.abs(np.asarray(fa[k]) - np.asarray(fb[k])).max()) for k in fa}
+
+
+def test_poly_schedule():
+    sched = poly_schedule(1.0, 100, 0.9)
+    assert float(sched(0)) == 1.0
+    assert np.isclose(float(sched(50)), 0.5 ** 0.9)
+    assert float(sched(100)) == 0.0
+
+
+def test_optimizer_groups_stage1():
+    """backbone at 0.1x lr, heads at 1x, logit_scale frozen (reference quirk)."""
+    cfg = Stage1Config(hidden_dim=32, clip_override=TINY_RESNET_CLIP)
+    model = TRISStage1(cfg)
+    img = jnp.zeros((2, 64, 64, 3))
+    ids = jnp.ones((2, 20), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img, ids, train=False)
+    params = variables["params"]
+    tx = make_optimizer(params, base_lr=1.0, lr_multi=0.1, weight_decay=0.0, total_steps=10 ** 9)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    flat = flatten_dict(updates)
+    # logit_scale frozen
+    assert float(np.abs(flat[("logit_scale",)])) == 0.0
+    # backbone step ~0.1x of head step (unit grads -> adam update = lr)
+    bb = np.abs(np.asarray(flat[("backbone", "visual", "conv1", "kernel")])).max()
+    hd = np.abs(np.asarray(flat[("vis_project", "kernel")])).max()
+    assert np.isclose(bb / hd, 0.1, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def stage1_setup():
+    cfg = Stage1Config(hidden_dim=32, clip_override=TINY_RESNET_CLIP)
+    model = TRISStage1(cfg)
+    critic = CLIP(TINY_VIT_CLIP)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((8, 64, 64, 3))
+    ids = jnp.ones((8, 20), jnp.int32).at[:, 5].set(49407)
+    variables = model.init(key, img, ids, train=True)
+    critic_vars = critic.init(key, img, ids)
+    return model, critic, variables, critic_vars
+
+
+def test_stage1_train_step_on_mesh(stage1_setup, rng):
+    model, critic, variables, critic_vars = stage1_setup
+    mesh = create_mesh()
+    B, S = 8, 3
+    batch = {
+        "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "word_ids": np.tile(np.array([[49406, 10, 20, 49407] + [0] * 16], np.int32), (B, 1)),
+        "neg_word_ids": np.tile(np.array([[49406, 30, 49407] + [0] * 17], np.int32), (B, S, 1)),
+    }
+    state = create_train_state(model, variables, total_steps=100, stage="stage1")
+    step_fn = train_stage1.make_train_step(model, critic, donate=False)
+
+    state_r = jax.device_put(state, None)
+    batch_s = shard_batch(mesh, batch)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    new_state, metrics = step_fn(state_r, batch_s, critic_vars)
+    for k in ("loss", "l1", "l4", "l5"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["l5"]) > 0.0
+    # params moved, logit_scale did not
+    deltas = _tree_delta(p0, jax.tree_util.tree_map(np.asarray, new_state.params))
+    assert deltas[("logit_scale",)] == 0.0
+    assert deltas[("vis_project", "kernel")] > 0.0
+    assert deltas[("backbone", "visual", "conv1", "kernel")] > 0.0
+    assert int(new_state.step) == 1
+
+
+def test_stage2_train_step_with_ema(rng):
+    cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
+    model = TRISStage2(cfg)
+    B = 4
+    img = jnp.zeros((B, 64, 64, 3))
+    ids = jnp.ones((B, 20), jnp.int32).at[:, 3].set(49407)
+    variables = model.init(jax.random.PRNGKey(1), img, ids, train=True)
+    state = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+    tcfg = train_stage2.Stage2TrainConfig(use_ema=True, ema_update_after=0, ema_update_every=1)
+    step_fn = train_stage2.make_train_step(model, tcfg, donate=False)
+    batch = {
+        "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "word_ids": np.asarray(ids),
+        "pseudo": (rng.random((B, 64, 64, 1)) > 0.5).astype(np.float32),
+    }
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["l5"]) >= 0.0
+    new_state2, _ = step_fn(new_state, batch)
+    # EMA params should have moved after step 2 (update_after=0, step>0 check)
+    d = _tree_delta(
+        jax.tree_util.tree_map(np.asarray, new_state2.ema_params),
+        jax.tree_util.tree_map(np.asarray, state.ema_params),
+    )
+    assert max(d.values()) > 0.0
+
+
+def test_stage2_positional_embedding_in_head_group():
+    cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
+    model = TRISStage2(cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    ids = jnp.ones((1, 20), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img, ids, train=False)
+    tx = make_optimizer(
+        variables["params"], base_lr=1.0, lr_multi=0.1, weight_decay=0.0,
+        total_steps=10 ** 9, stage="stage2",
+    )
+    opt_state = tx.init(variables["params"])
+    grads = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
+    updates, _ = tx.update(grads, opt_state, variables["params"])
+    flat = flatten_dict(updates)
+    pe = np.abs(np.asarray(flat[("backbone", "positional_embedding")])).max()
+    bb = np.abs(np.asarray(flat[("backbone", "visual", "conv1", "kernel")])).max()
+    assert np.isclose(pe / bb, 10.0, rtol=1e-3)  # pe in head group (1x vs 0.1x)

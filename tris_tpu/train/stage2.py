@@ -1,0 +1,80 @@
+"""Stage-2 training step: pseudo-supervised BCE + optional EMA consistency.
+
+Re-design of `/root/reference/train_stage2.py:271-374`: BCE of all four side
+outputs against the IRNet pseudo-mask, plus an optional mean-teacher
+consistency term (sigmoid-MSE or Bernoulli-KL) against an EMA copy of the
+parameters (train_stage2.py:57-64,258-269,302-319). All in one jitted step;
+the EMA update is fused into the same program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tris_tpu import losses
+from tris_tpu.train.state import TrainState, ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2TrainConfig:
+    use_ema: bool = False
+    consistency: str = "mse"  # 'mse' | 'kl'
+    ema_decay: float = 0.9999
+    ema_update_every: int = 10
+    ema_update_after: int = 100
+
+
+def stage2_loss(params, batch_stats, ema_params, model, batch, cfg: Stage2TrainConfig):
+    image = batch["image"]
+    word_ids = batch["word_ids"]
+    pseudo = batch["pseudo"]  # [B, H, W, 1] float/int
+
+    outs, mut = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        image, word_ids, train=True, mutable=["batch_stats"],
+    )
+    o1, o2, o3, o4 = outs
+    l1 = losses.bce_with_logits(o1, pseudo)
+    l2 = losses.bce_with_logits(o2, pseudo)
+    l3 = losses.bce_with_logits(o3, pseudo)
+    l4 = losses.bce_with_logits(o4, pseudo)
+
+    if cfg.use_ema and ema_params is not None:
+        # teacher forward in train-head mode (4 side outputs), no gradient
+        ema_outs = model.apply(
+            {"params": jax.lax.stop_gradient(ema_params), "batch_stats": batch_stats},
+            image, word_ids, train=True, mutable=["batch_stats"],
+        )[0]
+        cons = losses.sigmoid_mse_consistency if cfg.consistency == "mse" else losses.sigmoid_kl_consistency
+        l5 = sum(cons(s, jax.lax.stop_gradient(t)) for s, t in zip(outs, ema_outs))
+    else:
+        l5 = jnp.zeros((), o1.dtype)
+
+    loss = l1 + l2 + l3 + l4 + l5
+    metrics = {"loss": loss, "l1": l1, "l2": l2, "l3": l3, "l4": l4, "l5": l5}
+    return loss, (mut["batch_stats"], metrics)
+
+
+def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate: bool = True):
+    def train_step(state: TrainState, batch: dict):
+        grad_fn = jax.value_and_grad(stage2_loss, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, state.ema_params, model, batch, cfg
+        )
+        state = state.apply_gradients(grads, new_stats)
+        if cfg.use_ema and state.ema_params is not None:
+            do_update = jnp.logical_and(
+                state.step > cfg.ema_update_after,
+                (state.step % cfg.ema_update_every) == 0,
+            )
+            new_ema = ema_update(state.ema_params, state.params, cfg.ema_decay)
+            ema = jax.tree_util.tree_map(
+                lambda e, n: jnp.where(do_update, n, e), state.ema_params, new_ema
+            )
+            state = state.replace(ema_params=ema)
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
