@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from tests.fixtures import make_fake_refcoco
+from tris_tpu.data.dataset import Loader, ReferSegDataset
+from tris_tpu.data.refer import REFER
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refdata")
+    return make_fake_refcoco(str(root))
+
+
+def test_refer_index(fake_root):
+    root, expected = fake_root
+    refer = REFER(root, "refcoco", "unc")
+    assert len(refer.Refs) == 12
+    assert len(refer.Imgs) == 6
+    train_ids = refer.getRefIds(split="train")
+    assert len(train_ids) == 6  # 3 train images x 2 refs
+    val_ids = refer.getRefIds(split="val")
+    assert len(val_ids) == 2
+    ta = refer.getRefIds(split="testA")
+    tb = refer.getRefIds(split="testB")
+    assert len(ta) == 2 and len(tb) == 2
+    # 'test' matches both testA and testB
+    assert set(refer.getRefIds(split="test")) == set(ta) | set(tb)
+
+
+def test_refer_get_mask(fake_root):
+    root, expected = fake_root
+    refer = REFER(root, "refcoco", "unc")
+    rid = refer.getRefIds(split="train")[0]
+    ref = refer.Refs[rid]
+    m = refer.getMask(ref)
+    x0, y0, bw, bh = expected[rid]["rect"]
+    mask = m["mask"]
+    assert mask.shape == (48, 64)
+    # rectangle rasterizes to roughly its box
+    assert abs(int(mask.sum()) - bw * bh) <= (bw + bh) * 2
+    assert mask[y0 + 2, x0 + 2] == 1
+    assert mask[1, 1] == 0
+
+
+def test_train_example(fake_root):
+    root, _ = fake_root
+    ds = ReferSegDataset(root, split="train", size=64, max_tokens=20, negative_samples=3)
+    rng = np.random.default_rng(0)
+    ex = ds.train_example(0, rng)
+    assert ex["image"].shape == (64, 64, 3)
+    assert ex["image"].dtype == np.float32
+    assert ex["word_ids"].shape == (20,)
+    assert ex["word_ids"][0] == 49406
+    assert ex["neg_word_ids"].shape == (3, 20)
+    # negatives come from the other ref of the same image -> different text
+    assert not np.array_equal(ex["neg_word_ids"][0], ex["word_ids"])
+
+
+def test_eval_example(fake_root):
+    root, expected = fake_root
+    ds = ReferSegDataset(root, split="val", size=64, eval_mode=True)
+    ex = ds.eval_example(0)
+    assert ex["word_ids"].shape == (ds.max_sents, 20)
+    assert ex["num_sents"] == 2
+    assert ex["target"].shape == (48, 64)
+    assert ex["orig_size"].tolist() == [48, 64]
+    x1, y1, x2, y2 = ex["bbox"]
+    rid = ds.ref_ids[0]
+    x0, y0, bw, bh = expected[rid]["rect"]
+    assert [x1, y1, x2, y2] == [x0, y0, x0 + bw, y0 + bh]
+
+
+def test_loader_batching_and_determinism(fake_root):
+    root, _ = fake_root
+    ds = ReferSegDataset(root, split="train", size=64, negative_samples=2)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=5, num_threads=2)
+    b1 = list(loader.epoch(0))
+    b2 = list(loader.epoch(0))
+    assert len(b1) == 3
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a["word_ids"], b["word_ids"])
+        np.testing.assert_allclose(a["image"], b["image"])
+    assert b1[0]["image"].shape == (2, 64, 64, 3)
+    assert b1[0]["neg_word_ids"].shape == (2, 2, 20)
+    # different epoch -> different order
+    b3 = list(loader.epoch(1))
+    assert any(
+        not np.array_equal(a["word_ids"], c["word_ids"]) for a, c in zip(b1, b3)
+    )
+
+
+def test_loader_process_sharding(fake_root):
+    root, _ = fake_root
+    ds = ReferSegDataset(root, split="train", size=64)
+    ids = []
+    for p in range(2):
+        loader = Loader(ds, batch_size=1, shuffle=False, drop_last=False,
+                        num_threads=1, process_index=p, process_count=2)
+        for batch in loader.epoch(0):
+            ids.append(int(batch["word_ids"][0, 1]))
+    assert len(ids) == 6  # all examples covered exactly once across processes

@@ -1,0 +1,259 @@
+"""RefCOCO-family dataset + host input pipeline.
+
+Re-design of `/root/reference/dataset/ReferDataset.py`:
+
+- All sentences are pre-tokenized at init: CLIP-tokenized at context 77 then
+  truncated to ``max_tokens`` — exactly the reference's
+  ``tokenize(sent)[:max_tokens]`` slice (ReferDataset.py:109), so an over-long
+  sentence may lose its EOT token and ``argmax(ids)`` falls back to the
+  largest id, as in the reference.
+- Train mode samples one sentence per ref and ``negative_samples`` negative
+  expressions (same-image refs preferred, ReferDataset.py:190-229).
+- Eval mode returns ALL sentences, padded to the dataset-wide max with a
+  validity mask — static shapes for jit-batched evaluation (the reference
+  loops sentences in Python at batch 1; we batch them).
+- Stage-2: loads IRNet pseudo-masks ``{index}_{img_id}.npy`` and NEAREST-
+  resizes to the train size (ReferDataset.py:178-186).
+
+The ``Loader`` assembles fixed-shape numpy batches with background-thread
+prefetch and per-process sharding (the TPU equivalent of DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from tris_tpu.data.refer import REFER
+from tris_tpu.data.transforms import image_to_array, load_image, resize_mask_nearest
+from tris_tpu.tokenizer import tokenize
+
+
+class ReferSegDataset:
+    def __init__(
+        self,
+        refer_data_root: str = "./data",
+        dataset: str = "refcoco",
+        splitBy: str = "unc",
+        split: str = "train",
+        size: int = 320,
+        max_tokens: int = 20,
+        eval_mode: bool = False,
+        negative_samples: int = 0,
+        pseudo_path: Optional[str] = None,
+    ):
+        self.refer = REFER(refer_data_root, dataset, splitBy)
+        self.split = split
+        self.size = size
+        self.max_tokens = max_tokens
+        self.eval_mode = eval_mode
+        self.negative_samples = negative_samples
+        self.pseudo_path = pseudo_path
+
+        self.ref_ids: List[int] = self.refer.getRefIds(split=split)
+        self.refid2index = {r: i for i, r in enumerate(self.ref_ids)}
+
+        # pre-tokenize every sentence of every ref
+        self.input_ids: List[np.ndarray] = []   # per ref: [S_i, L]
+        self.word_masks: List[np.ndarray] = []
+        self.sentences: List[List[str]] = []
+        for rid in self.ref_ids:
+            ref = self.refer.Refs[rid]
+            sents = [s["sent"] for s in ref["sentences"]]
+            ids77 = tokenize(sents, context_length=77, truncate=True)
+            ids = ids77[:, : self.max_tokens].astype(np.int32)
+            self.input_ids.append(ids)
+            self.word_masks.append((ids > 0).astype(np.int32))
+            self.sentences.append(sents)
+
+        self.max_sents = max(len(s) for s in self.sentences) if self.sentences else 1
+
+    def __len__(self) -> int:
+        return len(self.ref_ids)
+
+    # ---- raw annotation access -------------------------------------------
+
+    def ref_info(self, index: int) -> dict:
+        rid = self.ref_ids[index]
+        ref = self.refer.Refs[rid]
+        img = self.refer.Imgs[ref["image_id"]]
+        x, y, w, h = self.refer.Anns[ref["ann_id"]]["bbox"]
+        bbox = np.array([x, y, x + w, y + h], dtype=np.int64)  # x1y1x2y2, int like reference
+        return {"ref": ref, "img": img, "bbox": bbox}
+
+    def load_image_array(self, index: int) -> np.ndarray:
+        info = self.ref_info(index)
+        path = os.path.join(self.refer.IMAGE_DIR, info["img"]["file_name"])
+        return image_to_array(load_image(path), self.size)
+
+    def numeric_image_id(self, index: int) -> int:
+        """The reference's integer 'img_path' key (ReferDataset.py:231-232)."""
+        name = self.ref_info(index)["img"]["file_name"]
+        return int(name.split(".")[0].split("_")[-1])
+
+    # ---- example builders -------------------------------------------------
+
+    def train_example(self, index: int, rng: np.random.Generator) -> dict:
+        info = self.ref_info(index)
+        image = self.load_image_array(index)
+        s = int(rng.integers(len(self.input_ids[index])))
+        out = {
+            "image": image,
+            "word_ids": self.input_ids[index][s],
+            "word_mask": self.word_masks[index][s],
+        }
+        if self.negative_samples > 0:
+            out["neg_word_ids"] = self._sample_negatives(index, self.sentences[index][s], rng)
+        if self.pseudo_path is not None:
+            out["pseudo"] = self._load_pseudo(index)[..., None].astype(np.float32)
+        return out
+
+    def eval_example(self, index: int) -> dict:
+        info = self.ref_info(index)
+        image = self.load_image_array(index)
+        n = len(self.input_ids[index])
+        L = self.max_tokens
+        ids = np.zeros((self.max_sents, L), np.int32)
+        masks = np.zeros((self.max_sents, L), np.int32)
+        ids[:n] = self.input_ids[index]
+        masks[:n] = self.word_masks[index]
+        target = self.refer.getMask(info["ref"])["mask"]
+        target = np.asarray(target > 0, np.uint8)
+        return {
+            "image": image,
+            "word_ids": ids,            # [S_max, L]
+            "word_masks": masks,
+            "num_sents": n,
+            "target": target,           # original size [H, W]
+            "bbox": info["bbox"],
+            "orig_size": np.array(target.shape, np.int64),
+            "img_id": self.numeric_image_id(index),
+            "sentences": self.sentences[index],
+            "index": index,
+        }
+
+    def _sample_negatives(self, index: int, pos_sentence: str, rng: np.random.Generator) -> np.ndarray:
+        info = self.ref_info(index)
+        this_rid = self.ref_ids[index]
+        neg_index = []
+        for item in self.refer.imgToRefs[info["ref"]["image_id"]]:
+            rid = item["ref_id"]
+            if rid != this_rid and rid in self.refid2index:
+                neg_index.append(self.refid2index[rid])
+        picks = []
+        if neg_index:
+            while len(picks) < self.negative_samples:
+                ni = neg_index[int(rng.integers(len(neg_index)))]
+                si = int(rng.integers(len(self.input_ids[ni])))
+                picks.append(self.input_ids[ni][si])
+        else:
+            while len(picks) < self.negative_samples:
+                ni = int(rng.integers(len(self.input_ids)))
+                si = int(rng.integers(len(self.input_ids[ni])))
+                if self.sentences[ni][si] != pos_sentence:
+                    picks.append(self.input_ids[ni][si])
+        return np.stack(picks, axis=0)  # [S, L]
+
+    def _load_pseudo(self, index: int) -> np.ndarray:
+        img_id = self.ref_info(index)["ref"]["image_id"]
+        path = os.path.join(self.pseudo_path, f"{index}_{img_id}.npy")
+        info = np.load(path, allow_pickle=True).item()
+        mask = (info["mask"] * 1.0).sum(0)
+        return resize_mask_nearest(mask.astype(np.uint8), self.size)
+
+
+class Loader:
+    """Fixed-shape batched iterator with thread prefetch + process sharding."""
+
+    def __init__(
+        self,
+        dataset: ReferSegDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 1234,
+        drop_last: bool = True,
+        num_threads: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield batches for one epoch (deterministic given (seed, epoch))."""
+        rng = np.random.default_rng(self.seed + epoch)
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.process_index :: self.process_count]
+        nb = len(order) // self.batch_size if self.drop_last else -(-len(order) // self.batch_size)
+
+        def make_batch(batch_idx: int) -> dict:
+            idxs = order[batch_idx * self.batch_size : (batch_idx + 1) * self.batch_size]
+            brng = np.random.default_rng(self.seed * 1000003 + epoch * 131 + batch_idx)
+            if self.ds.eval_mode:
+                examples = [self.ds.eval_example(int(i)) for i in idxs]
+            else:
+                examples = [self.ds.train_example(int(i), brng) for i in idxs]
+            return _collate(examples)
+
+        if self.num_threads <= 1:
+            for b in range(nb):
+                yield make_batch(b)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_threads)
+        stop = threading.Event()
+
+        def worker(tid: int):
+            for b in range(tid, nb, self.num_threads):
+                if stop.is_set():
+                    return
+                q.put((b, make_batch(b)))
+
+        threads = [threading.Thread(target=worker, args=(t,), daemon=True) for t in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        try:
+            pending = {}
+            next_b = 0
+            received = 0
+            while received < nb:
+                b, batch = q.get()
+                pending[b] = batch
+                received += 1
+                while next_b in pending:
+                    yield pending.pop(next_b)
+                    next_b += 1
+            while next_b in pending:
+                yield pending.pop(next_b)
+                next_b += 1
+        finally:
+            stop.set()
+
+
+def _collate(examples: List[dict]) -> dict:
+    out = {}
+    for key in examples[0]:
+        vals = [e[key] for e in examples]
+        if key in ("sentences",):
+            out[key] = vals
+        elif key == "target":
+            out[key] = vals  # variable original sizes: keep as list
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals], axis=0)
+    return out
