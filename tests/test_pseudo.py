@@ -1,0 +1,199 @@
+"""IRNet pseudo-labeling subsystem tests, including direct parity checks
+against the reference implementation (imported read-only, patched to CPU)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tris_tpu.pseudo import indexing as our_idx
+from tris_tpu.pseudo.aug import affinity_labels_from_indices, pil_rescale
+from tris_tpu.pseudo.crf import crf_inference_label, unary_from_labels
+from tris_tpu.pseudo.irnet import IRNet, affinity_displacement_losses, edge_displacement_infer
+from tris_tpu.pseudo.labels import (
+    cluster_centroids,
+    detect_instance,
+    find_centroids_with_refinement,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_indexing():
+    sys.path.insert(0, "/root/reference/IRNet")
+    try:
+        import torch
+
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        from misc import indexing as ref_idx
+
+        yield ref_idx
+        torch.Tensor.cuda = orig_cuda
+    finally:
+        sys.path.remove("/root/reference/IRNet")
+
+
+def test_path_index_parity(ref_indexing):
+    ref = ref_indexing.PathIndex(radius=5, default_size=(20, 24))
+    ours = our_idx.PathIndex(5, (20, 24))
+    assert len(ref.path_indices) == len(ours.path_indices)
+    for a, b in zip(ref.path_indices, ours.path_indices):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ref.src_indices, ours.src_indices)
+    np.testing.assert_array_equal(ref.dst_indices, ours.dst_indices)
+    np.testing.assert_array_equal(ref.search_dst, ours.search_dst)
+
+
+def test_propagate_to_edge_parity(ref_indexing, rng):
+    import torch
+
+    H, W, K = 12, 14, 3
+    x = rng.random((K, H, W)).astype(np.float32)
+    edge = (rng.random((H, W)) * 0.9).astype(np.float32)
+    ref_rw = ref_indexing.propagate_to_edge(
+        torch.tensor(x), torch.tensor(edge), radius=5, beta=10, exp_times=4
+    ).numpy().reshape(K, H, W)
+    our_rw = np.asarray(our_idx.propagate_to_edge(x, edge, radius=5, beta=10.0, exp_times=4))
+    np.testing.assert_allclose(our_rw, ref_rw, atol=2e-5, rtol=1e-4)
+
+
+def test_unary_from_labels():
+    labels = np.array([[0, 1], [1, 0]])
+    u = unary_from_labels(labels, 2, gt_prob=0.7)
+    assert u.shape == (2, 4)
+    np.testing.assert_allclose(u[0, 0], -np.log(0.7), rtol=1e-6)
+    np.testing.assert_allclose(u[1, 0], -np.log(0.3), rtol=1e-6)
+
+
+def test_crf_denoises_labels(rng):
+    """CRF with a label seed matching a strong color region should clean up
+    isolated label noise while keeping the region boundary."""
+    h, w = 96, 96
+    img = np.full((h, w, 3), 30, np.uint8)
+    img[24:72, 24:72] = 200
+    img = (img + rng.integers(0, 8, img.shape)).astype(np.uint8)
+    labels = np.zeros((h, w), np.int32)
+    labels[24:72, 24:72] = 1
+    # inject label noise: a few wrong pixels on both sides
+    labels[40, 40] = 0
+    labels[50, 51] = 0
+    labels[5, 5] = 1
+    out = crf_inference_label(img, labels, t=5, n_labels=2)
+    assert out.shape == (h, w)
+    assert out[40, 40] == 1 and out[50, 51] == 1  # interior noise healed
+    assert out[5, 5] == 0                          # bg noise healed
+    assert out[10, 10] == 0 and out[48, 48] == 1
+
+
+def test_centroid_refinement_converges():
+    """Displacement pointing at a sink => all centroids end at the sink."""
+    h, w = 17, 19
+    cy, cx = 8.0, 9.0
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    disp = np.stack([np.clip(cy - yy, -1, 1), np.clip(cx - xx, -1, 1)])
+    cents = find_centroids_with_refinement(disp, iterations=60)
+    assert (cents[0] == 8).all() and (cents[1] == 9).all()
+    inst = cluster_centroids(cents, disp)
+    # one background-ish cluster + the sink cluster at most
+    assert inst.shape[1:] == (h, w)
+    assert inst.shape[0] <= 3
+
+
+def test_detect_instance_fragments():
+    score = np.zeros((1, 10, 10), np.float32)
+    mask = np.zeros((1, 10, 10), bool)
+    mask[0, :3, :3] = True
+    mask[0, 7:, 7:] = True
+    score[0] = 0.5
+    det = detect_instance(score, mask, np.array([0]), max_fragment_size=0)
+    assert det["mask"].shape[0] == 2  # two connected fragments
+    assert (det["score"] == 0.5).all()
+
+
+def test_affinity_labels():
+    pi = our_idx.PathIndex(3, (8, 8))
+    label = np.zeros((8, 8), np.uint8)
+    label[:, 4:] = 1
+    label[0, :] = 255
+    bg, fg, neg = affinity_labels_from_indices(label, pi.src_indices, pi.dst_indices)
+    assert bg.shape == fg.shape == neg.shape == (pi.dst_indices.shape[0], pi.src_indices.shape[0])
+    assert bg.sum() > 0 and fg.sum() > 0 and neg.sum() > 0
+    # no pair marked in two categories
+    assert ((bg + fg + neg) <= 1).all()
+
+
+@pytest.fixture(scope="module")
+def irnet_setup():
+    model = IRNet()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_irnet_shapes(irnet_setup):
+    model, variables = irnet_setup
+    edge, dp = model.apply(variables, jnp.zeros((2, 64, 64, 3)))
+    assert edge.shape == (2, 16, 16, 1)
+    assert dp.shape == (2, 16, 16, 2)
+
+
+def test_edge_displacement_infer(irnet_setup):
+    model, variables = irnet_setup
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((62, 66, 3)), jnp.float32)
+    edge, disp = edge_displacement_infer(model, variables, img)
+    assert edge.shape == (16, 17)  # ceil(62/4), ceil(66/4)
+    assert disp.shape == (2, 16, 17)
+    assert float(edge.min()) >= 0.0 and float(edge.max()) <= 1.0
+
+
+def test_affinity_displacement_losses_shapes(irnet_setup):
+    model, variables = irnet_setup
+    pi = our_idx.PathIndex(5, (16, 16))
+    edge, dp = model.apply(variables, jnp.zeros((2, 64, 64, 3)))
+    pos, neg, dp_fg, dp_bg = affinity_displacement_losses(edge, dp, pi)
+    n_dirs = pi.dst_indices.shape[0]
+    n_pairs = pi.src_indices.shape[0]
+    assert pos.shape == (2, n_dirs * n_pairs)
+    assert neg.shape == pos.shape
+    assert dp_fg.shape == (2, 2, n_dirs, n_pairs)
+    # constant dp field -> pair displacement 0 -> dp_fg = |search_dst|
+    target = np.abs(pi.search_dst.T)[None, :, :, None]
+    np.testing.assert_allclose(np.asarray(dp_bg), 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dp_fg), np.broadcast_to(target, dp_fg.shape), atol=1e-4
+    )
+
+
+def test_irn_train_step(irnet_setup):
+    from tris_tpu.pseudo.train_irn import IRNTrainConfig, create_irn_state, make_irn_train_step
+
+    model, variables = irnet_setup
+    pi = our_idx.PathIndex(5, (16, 16))
+    cfg = IRNTrainConfig(crop_size=64, radius=5)
+    state = create_irn_state(model, variables, cfg, max_step=10)
+    step_fn = make_irn_train_step(model, pi, donate=False)
+    n_dirs, n_pairs = pi.dst_indices.shape[0], pi.src_indices.shape[0]
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.standard_normal((2, 64, 64, 3)).astype(np.float32),
+        "aff_bg_pos": (rng.random((2, n_dirs, n_pairs)) > 0.7).astype(np.float32),
+        "aff_fg_pos": (rng.random((2, n_dirs, n_pairs)) > 0.7).astype(np.float32),
+        "aff_neg": (rng.random((2, n_dirs, n_pairs)) > 0.7).astype(np.float32),
+    }
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # trunk frozen, heads move
+    from flax.traverse_util import flatten_dict
+
+    old = flatten_dict(jax.tree_util.tree_map(np.asarray, state.params))
+    new = flatten_dict(jax.tree_util.tree_map(np.asarray, new_state.params))
+    trunk_moved = max(
+        np.abs(old[k] - new[k]).max() for k in old if k[0] == "trunk"
+    )
+    edge_moved = max(
+        np.abs(old[k] - new[k]).max() for k in old if k[0].startswith("fc_edge")
+    )
+    assert trunk_moved == 0.0
+    assert edge_moved > 0.0

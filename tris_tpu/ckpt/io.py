@@ -1,0 +1,107 @@
+"""Checkpoint save/load.
+
+Two layers:
+- :func:`save_variables` / :func:`load_variables`: single-file msgpack of a
+  flax variables dict (used for IRNet weights and converted CLIP params).
+- :class:`CheckpointManager`: training checkpoints {params, batch_stats,
+  opt_state, step, [ema]} with the reference's best-checkpoint policy —
+  keep best-by-mIoU and best-by-hit, deleting the previous best
+  (`/root/reference/train_stage1.py:192-217`, `utils/util.py:50-107`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_variables(path: str, variables: dict) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.msgpack_serialize(_to_numpy_tree(variables))
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_variables(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def save_train_checkpoint(path: str, state, extra: Optional[dict] = None) -> str:
+    """Serialize a TrainState (+ extras like epoch) to one msgpack file."""
+    payload = {
+        "step": np.asarray(state.step),
+        "params": _to_numpy_tree(state.params),
+        "batch_stats": _to_numpy_tree(state.batch_stats),
+        "opt_state": _to_numpy_tree(state.opt_state),
+    }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = _to_numpy_tree(state.ema_params)
+    if extra:
+        payload["extra"] = {k: np.asarray(v) for k, v in extra.items()}
+    return save_variables(path, payload)
+
+
+def load_train_checkpoint(path: str, state):
+    """Restore a TrainState from :func:`save_train_checkpoint` output.
+
+    Returns (state, extra_dict). Optimizer state is restored with
+    ``serialization.from_state_dict`` so pytree structure is preserved.
+    """
+    payload = load_variables(path)
+    new_state = state.replace(
+        step=payload["step"],
+        params=serialization.from_state_dict(state.params, payload["params"]),
+        batch_stats=serialization.from_state_dict(state.batch_stats, payload["batch_stats"]),
+        opt_state=serialization.from_state_dict(state.opt_state, payload["opt_state"]),
+    )
+    if "ema_params" in payload and getattr(state, "ema_params", None) is not None:
+        new_state = new_state.replace(
+            ema_params=serialization.from_state_dict(state.ema_params, payload["ema_params"])
+        )
+    return new_state, payload.get("extra", {})
+
+
+def load_params_only(path: str, params):
+    """Model-only restore, tolerant like load_pretrained_checkpoint
+    (utils/util.py:98-107)."""
+    payload = load_variables(path)
+    src = payload.get("params", payload)
+    return serialization.from_state_dict(params, src)
+
+
+class BestCheckpointKeeper:
+    """Best-by-metric checkpoint bookkeeping (train_stage1.py:172-217)."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.best = {
+            "val_acc": -1.0, "val_hit": -1.0, "epoch": -1, "path": "",
+            "hit": -1.0, "hit_path": "",
+        }
+
+    def update(self, epoch: int, miou: float, hit: float, state, extra=None) -> dict:
+        if miou > self.best["val_acc"]:
+            if self.best["path"] and os.path.exists(self.best["path"]):
+                os.remove(self.best["path"])
+            path = os.path.join(self.output_dir, f"ckpt_320_epoch_{epoch}_best.msgpack")
+            save_train_checkpoint(path, state, extra)
+            self.best.update(val_acc=miou, val_hit=hit, epoch=epoch, path=path)
+        if hit > self.best["hit"]:
+            if self.best["hit_path"] and os.path.exists(self.best["hit_path"]):
+                os.remove(self.best["hit_path"])
+            path = os.path.join(self.output_dir, f"ckpt_320_epoch_{epoch}_hit.msgpack")
+            save_train_checkpoint(path, state, extra)
+            self.best.update(hit=hit, hit_path=path)
+        return dict(self.best)

@@ -1,0 +1,136 @@
+"""Dense CRF mean-field refinement of label maps.
+
+Replaces the reference's ``pydensecrf`` dependency
+(`/root/reference/IRNet/misc/imutils.py:169-183`): label-map unaries
+(``gt_prob=0.7``), a Gaussian pairwise kernel (sxy=3, compat=3) and a
+bilateral pairwise kernel (sxy=50, srgb=5, compat=10), 10 mean-field steps.
+
+Filtering backends:
+- Gaussian term: separable spatial Gaussian via scipy (exact up to kernel
+  truncation), with the symmetric normalization densecrf uses.
+- Bilateral term: bilateral-grid (splat -> 5D Gaussian blur -> slice), the
+  standard fast approximation of the permutohedral lattice. A C++ lattice in
+  ``tris_tpu.native`` replaces it when built.
+
+This is an offline, host-side step in the pipeline (the reference runs it in
+CPU worker processes); accuracy is what matters here, not device placement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def unary_from_labels(labels: np.ndarray, n_labels: int, gt_prob: float = 0.7) -> np.ndarray:
+    """Negative-log unaries [n_labels, H*W] from a hard label map (pydensecrf
+    ``unary_from_labels`` with zero_unsure=False)."""
+    flat = labels.reshape(-1)
+    p_other = (1.0 - gt_prob) / (n_labels - 1)
+    u = np.full((n_labels, flat.size), -np.log(p_other), dtype=np.float32)
+    u[flat, np.arange(flat.size)] = -np.log(gt_prob)
+    return u
+
+
+class _GaussianFilter:
+    """Symmetric-normalized spatial Gaussian filter."""
+
+    def __init__(self, shape, sxy: float):
+        self.sxy = sxy
+        ones = np.ones(shape, np.float32)
+        self.norm = 1.0 / np.sqrt(np.maximum(self._raw(ones), 1e-20))
+
+    def _raw(self, x: np.ndarray) -> np.ndarray:
+        # unnormalized Gaussian response: scale scipy's normalized filter back
+        # by the kernel mass (2*pi*s^2 per 2D); constant factors cancel in the
+        # symmetric normalization, so plain gaussian_filter suffices.
+        return ndimage.gaussian_filter(x, self.sxy, mode="constant", truncate=4.0)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        # x: [L, H, W]
+        return np.stack([self.norm * self._raw(xi * self.norm) for xi in x])
+
+
+class _BilateralFilter:
+    """Bilateral-grid approximation of the (x, y, r, g, b) Gaussian kernel."""
+
+    def __init__(self, image: np.ndarray, sxy: float, srgb: float):
+        h, w = image.shape[:2]
+        self.shape = (h, w)
+        yy, xx = np.mgrid[:h, :w]
+        gy = (yy / sxy).astype(np.float32)
+        gx = (xx / sxy).astype(np.float32)
+        gc = (image.astype(np.float32) / srgb)
+        coords = [gy, gx, gc[..., 0], gc[..., 1], gc[..., 2]]
+        self.dims = tuple(int(np.ceil(c.max())) + 3 for c in coords)
+        self.idx = [np.clip(np.round(c).astype(np.int64) + 1, 0, d - 1)
+                    for c, d in zip(coords, self.dims)]
+        self.flat_idx = np.ravel_multi_index(self.idx, self.dims).reshape(-1)
+        self.norm = 1.0 / np.sqrt(np.maximum(self._raw(np.ones((h, w), np.float32)), 1e-20))
+
+    def _raw(self, x: np.ndarray) -> np.ndarray:
+        grid = np.bincount(self.flat_idx, weights=x.reshape(-1),
+                           minlength=int(np.prod(self.dims))).reshape(self.dims)
+        grid = ndimage.gaussian_filter(grid, 1.0, mode="constant", truncate=3.0)
+        return grid.reshape(-1)[self.flat_idx].reshape(self.shape).astype(np.float32)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        return np.stack([self.norm * self._raw(xi * self.norm) for xi in x])
+
+
+def _softmax0(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=0, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=0, keepdims=True)
+
+
+def dense_crf_inference(
+    image: np.ndarray,
+    unary: np.ndarray,
+    n_iters: int = 10,
+    gaussian_sxy: float = 3.0,
+    gaussian_compat: float = 3.0,
+    bilateral_sxy: float = 50.0,
+    bilateral_srgb: float = 5.0,
+    bilateral_compat: float = 10.0,
+) -> np.ndarray:
+    """Mean-field dense CRF. image: [H, W, 3] uint8; unary: [L, H*W] -log p.
+
+    Returns Q [L, H, W]. Tries the native C++ permutohedral implementation
+    first; falls back to the scipy approximation.
+    """
+    h, w = image.shape[:2]
+    L = unary.shape[0]
+
+    try:
+        from tris_tpu.native import crf as native_crf
+
+        return native_crf.dense_crf_inference(
+            image, unary.reshape(L, h, w), n_iters,
+            gaussian_sxy, gaussian_compat, bilateral_sxy, bilateral_srgb, bilateral_compat,
+        )
+    except Exception:
+        pass
+
+    u = unary.reshape(L, h, w).astype(np.float32)
+    gauss = _GaussianFilter((h, w), gaussian_sxy)
+    bilat = _BilateralFilter(image, bilateral_sxy, bilateral_srgb)
+
+    Q = _softmax0(-u)
+    for _ in range(n_iters):
+        msg = gaussian_compat * gauss(Q) + bilateral_compat * bilat(Q)
+        Q = _softmax0(-u + msg)
+    return Q
+
+
+def crf_inference_label(
+    image: np.ndarray,
+    labels: np.ndarray,
+    t: int = 10,
+    n_labels: int = 2,
+    gt_prob: float = 0.7,
+) -> np.ndarray:
+    """Refine a hard label map (imutils.py:169-183). Returns argmax labels [H, W]."""
+    unary = unary_from_labels(labels, n_labels, gt_prob)
+    Q = dense_crf_inference(image, unary, n_iters=t)
+    return np.argmax(Q, axis=0)

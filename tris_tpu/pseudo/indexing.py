@@ -1,0 +1,166 @@
+"""Pixel-pair path indexing + random-walk propagation (IRNet core).
+
+Re-design of `/root/reference/IRNet/misc/indexing.py` for TPU:
+
+- :class:`PathIndex` precomputes, on host, the flat pixel indices of every
+  discrete line between pixel pairs within ``radius`` (indexing.py:6-88).
+- ``edge_to_affinity``: affinity of a pair = ``1 - max(edge along path)``;
+  a gather + segment max, jit-compiled (indexing.py:91-109,168-181).
+- The dense affinity matrix is built with scatter (the reference goes through
+  a torch *sparse tensor* then ``.to_dense()``, indexing.py:112-129).
+- ``propagate_to_edge``: transition matrix ``A^beta`` column-normalized then
+  squared ``exp_times`` times — 8 dense [HW, HW] matmuls that map straight
+  onto the MXU (indexing.py:132-166), the reference's single heaviest op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PathIndex:
+    """Host-side precomputation of within-radius pixel-pair paths."""
+
+    def __init__(self, radius: int, size: Tuple[int, int]):
+        self.radius = radius
+        self.radius_floor = int(np.ceil(radius) - 1)
+        self.size = tuple(size)
+
+        self.paths_by_length, self.search_dst = self._search_paths(radius)
+        self.path_indices, self.src_indices, self.dst_indices = self._path_indices(self.size)
+
+    @staticmethod
+    def _search_paths(max_radius: int):
+        """Enumerate displacement directions and the pixel chain of each
+        direction's discrete line, grouped by chain length."""
+        search_dirs = [(0, x) for x in range(1, max_radius)]
+        for y in range(1, max_radius):
+            for x in range(-max_radius + 1, max_radius):
+                if x * x + y * y < max_radius ** 2:
+                    search_dirs.append((y, x))
+
+        by_length: dict = {}
+        dst_list: List[List[Tuple[int, int]]] = []
+        for dy, dx in search_dirs:
+            length_sq = dy * dy + dx * dx
+            ys = sorted((0, dy))
+            xs = sorted((0, dx))
+            coords = []
+            for y in range(ys[0], ys[1] + 1):
+                for x in range(xs[0], xs[1] + 1):
+                    # squared distance of (y, x) from the line to (dy, dx)
+                    if (dy * x - dx * y) ** 2 / length_sq < 1:
+                        coords.append([y, x])
+            coords.sort(key=lambda c: -abs(c[0]) - abs(c[1]))
+            by_length.setdefault(len(coords), []).append(coords)
+
+        paths_by_length = [np.asarray(v) for _, v in sorted(by_length.items())]
+        # order must match the reference: grouped by ascending path length,
+        # destination = first coordinate of each path (farthest point)
+        dst = np.concatenate([p[:, 0] for p in paths_by_length], axis=0)
+        return paths_by_length, dst
+
+    def _path_indices(self, size: Tuple[int, int]):
+        h, w = size
+        rf = self.radius_floor
+        full = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        ch = h - rf
+        cw = w - 2 * rf
+
+        path_indices = []
+        for paths in self.paths_by_length:
+            per_len = []
+            for path in paths:
+                rows = []
+                for dy, dx in path:
+                    window = full[dy : dy + ch, rf + dx : rf + dx + cw].reshape(-1)
+                    rows.append(window)
+                per_len.append(rows)
+            path_indices.append(np.asarray(per_len))  # [n_paths, path_len, n_pairs]
+
+        src = full[:ch, rf : rf + cw].reshape(-1)
+        dst = np.concatenate([p[:, 0] for p in path_indices], axis=0)
+        return path_indices, src, dst
+
+
+def edge_to_affinity(edge_flat: jnp.ndarray, path_indices: Sequence[np.ndarray]) -> jnp.ndarray:
+    """edge_flat: [B, HW] edge probabilities -> affinities [B, n_pairs_total].
+
+    affinity(pair) = 1 - max(edge over the path connecting the pair).
+    """
+    affs = []
+    for ind in path_indices:
+        idx = jnp.asarray(ind)  # [n_paths, plen, n_pairs]
+        gathered = edge_flat[:, idx]               # [B, n_paths, plen, n_pairs]
+        affs.append(1.0 - gathered.max(axis=2))    # [B, n_paths, n_pairs]
+    return jnp.concatenate([a.reshape(a.shape[0], -1) for a in affs], axis=1)
+
+
+def affinity_to_dense(aff: jnp.ndarray, src: np.ndarray, dst: np.ndarray, n: int) -> jnp.ndarray:
+    """Symmetric dense [n, n] affinity with unit diagonal from sparse pair values.
+
+    aff: [n_pairs_total] (single image), pairs = (src tiled per direction, dst).
+    """
+    n_dirs = dst.shape[0]  # dst: [n_directions, n_pairs]
+    ind_from = jnp.asarray(np.tile(src, n_dirs))
+    ind_to = jnp.asarray(dst.reshape(-1))
+    dense = jnp.zeros((n, n), aff.dtype)
+    flat = aff.reshape(-1)
+    dense = dense.at[ind_from, ind_to].add(flat)
+    dense = dense.at[ind_to, ind_from].add(flat)
+    dense = dense.at[jnp.arange(n), jnp.arange(n)].add(1.0)
+    return dense
+
+
+def to_transition_matrix(dense_aff: jnp.ndarray, beta: float, times: int) -> jnp.ndarray:
+    """``A^beta`` column-normalized, then squared ``times`` times (T^(2^times))."""
+    scaled = jnp.power(dense_aff, beta)
+    trans = scaled / scaled.sum(axis=0, keepdims=True)
+
+    def body(t, _):
+        t = t @ t
+        return t, None
+
+    trans, _ = jax.lax.scan(body, trans, None, length=times)
+    return trans
+
+
+def propagate_to_edge(
+    x: jnp.ndarray,
+    edge: jnp.ndarray,
+    radius: int = 5,
+    beta: float = 10.0,
+    exp_times: int = 8,
+) -> jnp.ndarray:
+    """Random-walk propagation of score maps along low-edge paths.
+
+    x: [K, H, W] per-instance score maps; edge: [H, W] boundary probability.
+    Returns [K, H, W]. Matches indexing.py:141-166: the edge map is padded
+    with 1.0 (right/left by radius, bottom by radius), the affinity is built
+    at the padded size, then cropped back before the matmul chain.
+    """
+    K, H, W = x.shape
+    hor, ver = W + 2 * radius, H + radius
+    pi = _padded_path_index(radius, (ver, hor))
+
+    edge_padded = jnp.pad(edge, ((0, radius), (radius, radius)), constant_values=1.0)
+    aff = edge_to_affinity(edge_padded.reshape(1, -1), pi.path_indices)[0]
+    dense = affinity_to_dense(aff, pi.src_indices, pi.dst_indices, ver * hor)
+    dense = dense.reshape(ver, hor, ver, hor)
+    dense = dense[:-radius, radius:-radius, :-radius, radius:-radius]
+    dense = dense.reshape(H * W, H * W)
+
+    trans = to_transition_matrix(dense, beta, exp_times)
+    x_masked = x * (1.0 - edge)[None]
+    rw = x_masked.reshape(K, H * W) @ trans
+    return rw.reshape(K, H, W)
+
+
+@functools.lru_cache(maxsize=8)
+def _padded_path_index(radius: int, size: Tuple[int, int]) -> PathIndex:
+    return PathIndex(radius, size)

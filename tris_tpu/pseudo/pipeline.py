@@ -1,0 +1,214 @@
+"""IRNet pseudo-labeling pipeline orchestration.
+
+Re-design of `/root/reference/IRNet/run_sample_refer.py`'s three runnable
+passes with the same file contract:
+
+  1. cam_to_ir_label: ``{cam_dir}/{name}.npy`` -> ``{ir_label_dir}/{name}.png``
+  2. train_irn:       ir labels -> trained IRNet params (orbax/npz)
+  3. make_ins_seg:    CAMs + IRNet -> ``{ins_seg_dir}/{name}.npy`` dicts
+
+Image naming follows the reference (voc12/dataloader.py:117-188): names are
+``{idx}_{img_id}``, resolving to ``COCO_train2014_{img_id:012d}.jpg`` or
+``{img_id}.jpg`` for ReferIt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+from tris_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+@dataclasses.dataclass
+class PseudoConfig:
+    train_list: str = ""                # names json from PRMS
+    data_root: str = "./data/train2014"
+    cam_dir: str = "./out/cam"
+    ir_label_dir: str = "./out/ir_label"
+    ins_seg_dir: str = "./out/ins_seg"
+    irn_weights: str = "./out/irn.msgpack"
+    conf_fg_thres: float = 0.3
+    conf_bg_thres: float = 0.1
+    crop_size: int = 512
+    radius: int = 10
+    beta: float = 10.0
+    exp_times: int = 8
+    ins_seg_bg_thres: float = 0.25
+    num_workers: int = 8
+    referit: bool = False
+
+
+def load_names(cfg: PseudoConfig) -> List[str]:
+    with open(cfg.train_list) as f:
+        return json.load(f)
+
+
+def image_path(cfg: PseudoConfig, name: str) -> str:
+    img_id = name.split("_")[-1]
+    if cfg.referit or "referit" in cfg.data_root:
+        return os.path.join(cfg.data_root, f"{img_id}.jpg")
+    return os.path.join(cfg.data_root, f"COCO_train2014_{int(img_id):012d}.jpg")
+
+
+def load_raw_image(cfg: PseudoConfig, name: str) -> np.ndarray:
+    img = np.asarray(Image.open(image_path(cfg, name)))
+    if img.ndim == 2:  # grayscale -> 3ch (voc12/dataloader.py:164-166)
+        img = np.stack([img] * 3, axis=-1)
+    return img
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    return ((img.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _ir_label_one(args) -> str:
+    cfg, name = args
+    from tris_tpu.pseudo.labels import cam_to_ir_label
+
+    img = load_raw_image(cfg, name)
+    cam = np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True)
+    cam = np.asarray(cam, np.float32)
+    conf = cam_to_ir_label(img, cam, cfg.conf_fg_thres, cfg.conf_bg_thres)
+    out = os.path.join(cfg.ir_label_dir, name + ".png")
+    Image.fromarray(conf).save(out)
+    return out
+
+
+def run_cam_to_ir_label(cfg: PseudoConfig, names: Optional[List[str]] = None, parallel: bool = True):
+    """CPU-parallel CRF labeling (the reference uses multiprocessing.spawn,
+    cam_to_ir_label.py:82-92)."""
+    names = names if names is not None else load_names(cfg)
+    os.makedirs(cfg.ir_label_dir, exist_ok=True)
+    tasks = [(cfg, n) for n in names]
+    if parallel and len(names) > 1:
+        with ProcessPoolExecutor(max_workers=cfg.num_workers) as ex:
+            list(ex.map(_ir_label_one, tasks, chunksize=4))
+    else:
+        for t in tasks:
+            _ir_label_one(t)
+
+
+def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_size: int,
+                      epochs: int, seed: int = 1234):
+    """Yield augmented affinity-training batches (ReferAffinityDataset
+    equivalent: rescale(0.5,1.5) + hflip + random crop 512, quarter-scale
+    labels -> affinity labels)."""
+    from tris_tpu.pseudo.aug import (
+        affinity_labels_from_indices,
+        pil_rescale,
+        random_crop_pair,
+        random_lr_flip_pair,
+        random_scale_pair,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = len(names)
+    for epoch in range(epochs):
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            imgs, bgs, fgs, negs = [], [], [], []
+            for i in order[start : start + batch_size]:
+                name = names[i]
+                img = load_raw_image(cfg, name)
+                label = np.asarray(Image.open(os.path.join(cfg.ir_label_dir, name + ".png")))
+                img, label = random_scale_pair(img, label, (0.5, 1.5), rng)
+                img = normalize_image(img)
+                img, label = random_lr_flip_pair(img, label, rng)
+                img, label = random_crop_pair(img, label, cfg.crop_size, rng)
+                reduced = pil_rescale(label, 0.25, 0)
+                bg, fg, neg = affinity_labels_from_indices(
+                    reduced, path_index.src_indices, path_index.dst_indices
+                )
+                imgs.append(img)
+                bgs.append(bg)
+                fgs.append(fg)
+                negs.append(neg)
+            yield {
+                "image": np.stack(imgs).astype(np.float32),
+                "aff_bg_pos": np.stack(bgs),
+                "aff_fg_pos": np.stack(fgs),
+                "aff_neg": np.stack(negs),
+            }
+
+
+def run_train_irn(cfg: PseudoConfig, names: Optional[List[str]] = None,
+                  epochs: int = 3, batch_size: int = 24, lr: float = 0.1, log=print):
+    import jax
+
+    from tris_tpu.ckpt.io import save_variables
+    from tris_tpu.pseudo.indexing import PathIndex
+    from tris_tpu.pseudo.irnet import IRNet
+    from tris_tpu.pseudo.train_irn import (
+        IRNTrainConfig, calibrate_mean_shift, create_irn_state, make_irn_train_step,
+    )
+
+    names = names if names is not None else load_names(cfg)
+    path_index = PathIndex(cfg.radius, (cfg.crop_size // 4, cfg.crop_size // 4))
+    model = IRNet()
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3)))
+    tcfg = IRNTrainConfig(crop_size=cfg.crop_size, radius=cfg.radius, lr=lr,
+                          epochs=epochs, batch_size=batch_size)
+    max_step = (len(names) // batch_size) * epochs
+    state = create_irn_state(model, variables, tcfg, max(max_step, 1))
+    step_fn = make_irn_train_step(model, path_index)
+
+    it = 0
+    for batch in irn_train_batches(cfg, names, path_index, batch_size, epochs):
+        state, metrics = step_fn(state, batch)
+        it += 1
+        if it % 50 == 0:
+            log(f"irn step {it}/{max_step} loss={float(metrics['loss']):.4f}")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # displacement mean calibration over (top-left-cropped) train images
+    from tris_tpu.pseudo.aug import top_left_crop
+
+    def calib_batches():
+        for start in range(0, len(names) - batch_size + 1, batch_size):
+            imgs = []
+            for name in names[start : start + batch_size]:
+                img = normalize_image(load_raw_image(cfg, name))
+                imgs.append(top_left_crop(img, cfg.crop_size, 0))
+            yield {"image": np.stack(imgs).astype(np.float32)}
+
+    variables = calibrate_mean_shift(model, variables, calib_batches())
+    save_variables(cfg.irn_weights, variables)
+    return variables
+
+
+def run_make_ins_seg(cfg: PseudoConfig, variables=None, names: Optional[List[str]] = None, log=print):
+    import jax.numpy as jnp
+
+    from tris_tpu.ckpt.io import load_variables
+    from tris_tpu.pseudo.irnet import IRNet, edge_displacement_infer
+    from tris_tpu.pseudo.labels import make_instance_masks
+
+    names = names if names is not None else load_names(cfg)
+    if variables is None:
+        variables = load_variables(cfg.irn_weights)
+    model = IRNet()
+    os.makedirs(cfg.ins_seg_dir, exist_ok=True)
+
+    for i, name in enumerate(names):
+        raw = load_raw_image(cfg, name)
+        oh, ow = raw.shape[:2]
+        img = normalize_image(raw)
+        edge, disp = edge_displacement_infer(model, variables, jnp.asarray(img))
+        cam = np.asarray(np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True),
+                         np.float32)
+        detected = make_instance_masks(
+            np.asarray(edge), np.asarray(disp), cam, (oh, ow),
+            beta=cfg.beta, exp_times=cfg.exp_times, ins_seg_bg_thres=cfg.ins_seg_bg_thres,
+        )
+        np.save(os.path.join(cfg.ins_seg_dir, name + ".npy"), detected)  # dict npy
+        if (i + 1) % 50 == 0:
+            log(f"ins_seg {i + 1}/{len(names)}")
