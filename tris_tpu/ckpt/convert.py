@@ -28,7 +28,9 @@ def _np(t) -> np.ndarray:
         arr = t
     else:  # torch tensor without importing torch at module scope
         arr = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
-    return np.ascontiguousarray(arr, dtype=np.float32)
+    arr = np.asarray(arr, dtype=np.float32)
+    # NOTE: np.ascontiguousarray would promote 0-d scalars (logit_scale) to 1-d
+    return arr if arr.flags["C_CONTIGUOUS"] else np.ascontiguousarray(arr)
 
 
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> None:

@@ -1,0 +1,47 @@
+"""ReferIt evaluation (re-design of `/root/reference/validate_referit.py`).
+
+Protocol: per image, every (≥5%-area) expression is evaluated independently —
+forward at 320px, bilinear resize to the original size (align_corners=True),
+per-map max-normalize, threshold > 1e-9; metrics are mIoU/oIoU/Hit/HitM plus
+Prec@{0.5..0.9} (validate_referit.py:133-191). All expressions of one image
+run in a single jitted forward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tris_tpu.eval.metrics import SegEvalAccumulator
+from tris_tpu.eval.validate import make_eval_forward, normalize_threshold, resize_to_original_np
+
+
+def validate_referit(model, variables, dataset, max_tokens: int = 20,
+                     print_freq: int = 100, log=print) -> dict:
+    forward = make_eval_forward(model)
+    acc = SegEvalAccumulator(with_boxes=False)
+    for step, ex in enumerate(dataset.iter_examples()):
+        refs = ex["refs"]
+        if not refs:
+            continue
+        image = jnp.asarray(ex["image"])[None]
+        ids = np.stack([r["word_ids"] for r in refs])  # [S, L]
+        S = ids.shape[0]
+        # pad S to a bucket so jit compiles once per bucket, not per count
+        bucket = 1 << max(0, (S - 1).bit_length())
+        if bucket > S:
+            ids = np.concatenate([ids, np.zeros((bucket - S, ids.shape[1]), ids.dtype)])
+        cams = np.asarray(forward(variables, image, jnp.asarray(ids[None])))[0][:S]
+        oh, ow = ex["orig_size"]
+        for j, ref in enumerate(refs):
+            cam = resize_to_original_np(cams[j], oh, ow)
+            cam_norm, pred = normalize_threshold(cam)
+            bbox = np.asarray(ref["bbox"], np.float64).reshape(-1, 4)
+            acc.add(ref["mask"], pred, cam_norm.astype(np.float32), bbox, weight=1)
+        if (step + 1) % print_freq == 0:
+            r = acc.results()
+            log(f"referit [{step + 1}] mIoU {r['mIoU']:.3f} oIoU {r['oIoU']:.3f} "
+                f"P@0.5 {r['prec@0.5']:.3f}")
+    return acc.results()
