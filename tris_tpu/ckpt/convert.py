@@ -194,11 +194,17 @@ def infer_clip_config(state_dict: Dict[str, "np.ndarray"], txt_length: int = 20)
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch ``.pt``/``.pth`` file to a numpy state_dict (host-side)."""
+    """Load a torch ``.pt``/``.pth`` file to a numpy state_dict (host-side).
+
+    Handles both plain state_dicts and TorchScript archives (the OpenAI CLIP
+    release format, cf. CLIP/clip/clip.py:120-130)."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if hasattr(obj, "state_dict"):  # torchscript archive or module
+    try:
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):  # nn.Module
         obj = obj.state_dict()
     if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
         obj = obj["model"]  # reference save_checkpoint format (utils/util.py:50-77)

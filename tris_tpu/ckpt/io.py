@@ -43,7 +43,8 @@ def save_train_checkpoint(path: str, state, extra: Optional[dict] = None) -> str
         "step": np.asarray(state.step),
         "params": _to_numpy_tree(state.params),
         "batch_stats": _to_numpy_tree(state.batch_stats),
-        "opt_state": _to_numpy_tree(state.opt_state),
+        # optax states are namedtuple pytrees; convert to plain dicts first
+        "opt_state": serialization.to_state_dict(_to_numpy_tree(state.opt_state)),
     }
     if getattr(state, "ema_params", None) is not None:
         payload["ema_params"] = _to_numpy_tree(state.ema_params)

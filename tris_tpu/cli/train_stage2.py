@@ -1,0 +1,92 @@
+"""Stage-2 training entry point (re-design of `/root/reference/train_stage2.py`).
+
+Trains the encoder-decoder on IRNet pseudo-masks (``--pseudo_path``), with
+optional EMA mean-teacher consistency (``--model_ema --consistency_type mse``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+import jax
+import numpy as np
+
+from tris_tpu.ckpt.io import BestCheckpointKeeper, load_params_only
+from tris_tpu.cli.common import build_loaders, build_stage2, load_pretrained
+from tris_tpu.config import get_parser
+from tris_tpu.eval.validate import validate
+from tris_tpu.parallel.mesh import create_mesh_for_batch, shard_batch
+from tris_tpu.train.stage2 import Stage2TrainConfig, make_train_step
+from tris_tpu.train.state import create_train_state
+from tris_tpu.utils.logging import MetricsWriter, create_logger
+
+
+def main(args):
+    logger = create_logger(jax.process_index())
+    writer = MetricsWriter(args.board_folder)
+    mesh = create_mesh_for_batch(args.batch_size)
+
+    model, variables = build_stage2(args, train=True)
+    if args.resume and args.pretrain:
+        variables = load_pretrained(args, model, variables, "stage2")
+
+    eval_splits = args.test_split.split(",")
+    loaders = build_loaders(args, train=not args.eval, eval_splits=eval_splits)
+
+    if args.eval:
+        eval_vars = {k: variables[k] for k in ("params", "batch_stats") if k in variables}
+        for split in eval_splits:
+            res = validate(model, eval_vars, loaders[split], log=logger.info)
+            logger.info(f"[{split}] {res}")
+        return
+
+    steps_per_epoch = len(loaders["train"])
+    total_steps = steps_per_epoch * args.epoch
+    state = create_train_state(
+        model, variables, total_steps=total_steps, base_lr=args.lr,
+        lr_multi=args.lr_multi, weight_decay=args.weight_decay, stage="stage2",
+        with_ema=args.model_ema,
+    )
+    tcfg = Stage2TrainConfig(use_ema=args.model_ema, consistency=args.consistency_type)
+    step_fn = make_train_step(model, tcfg)
+
+    keeper = BestCheckpointKeeper(args.output or "./output")
+    iteration = 0
+    t_start = time.time()
+    for epoch in range(args.start_epoch, args.epoch):
+        for batch in loaders["train"].epoch(epoch):
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch)
+            iteration += 1
+            if iteration % args.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                writer.scalars(m, iteration, prefix="train/")
+                logger.info(
+                    f"Train:[{epoch:2d}/{args.epoch}][{iteration:6d}/{total_steps}] "
+                    f"| loss {m['loss']:.4f} | l1 {m['l1']:.4f} | l5 {m['l5']:.4f}"
+                )
+
+        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        results = {}
+        for split in eval_splits:
+            results[split] = validate(model, eval_vars, loaders[split], log=logger.info)
+            logger.info(f"[epoch {epoch}] {split}: {results[split]}")
+        primary = results[eval_splits[0]]
+        best = keeper.update(epoch, primary["mIoU"], primary["hit"], state,
+                             extra={"epoch": epoch})
+        writer.scalars({"mIoU": primary["mIoU"], "hit": primary["hit"]}, epoch, prefix="test/")
+        logger.info(f"best: {best}")
+
+    if keeper.best["path"]:
+        state = state.replace(params=load_params_only(keeper.best["path"], state.params))
+    train_eval = build_loaders(args, train=False, eval_splits=["train"])["train"]
+    res = validate(model, {"params": state.params, "batch_stats": state.batch_stats},
+                   train_eval, log=logger.info)
+    logger.info(f"validate on train split: {res}")
+    logger.info(f"total time {datetime.timedelta(seconds=int(time.time() - t_start))}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())

@@ -27,6 +27,16 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA
     return Mesh(np.array(devices), (axis,))
 
 
+def create_mesh_for_batch(batch_size: int, axis: str = DATA_AXIS) -> Mesh:
+    """Largest device prefix whose count divides ``batch_size`` (so small
+    debug batches still run; production batches use every chip)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim; replicate the rest."""
     return NamedSharding(mesh, P(axis))
