@@ -18,6 +18,16 @@ import numpy as np
 RLE = Dict[str, object]  # {"size": [h, w], "counts": bytes | list[int]}
 
 
+def _native():
+    """C++ fast path (tris_tpu.native), or None if the library isn't built."""
+    try:
+        from tris_tpu import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # counts <-> compressed string (LEB128-style with sign + continuation bits)
 # ---------------------------------------------------------------------------
@@ -84,6 +94,9 @@ def rle_decode(rle: Union[RLE, Sequence[RLE]]) -> np.ndarray:
         return np.stack(masks, axis=-1)
     h, w = rle["size"]
     counts = _get_counts(rle)
+    nat = _native()
+    if nat is not None:
+        return nat.rle_decode(counts, h, w)
     flat = np.zeros(h * w, dtype=np.uint8)
     ends = np.cumsum(counts)
     starts = ends - counts
@@ -126,6 +139,10 @@ _SCALE = 5.0
 
 def polygon_to_rle(poly: Sequence[float], h: int, w: int) -> RLE:
     """Rasterize one polygon [x0, y0, x1, y1, ...] to RLE with COCO semantics."""
+    nat = _native()
+    if nat is not None:
+        counts = nat.polygon_to_counts(np.asarray(poly, np.float64), h, w)
+        return {"size": [h, w], "counts": counts_to_string(counts)}
     xy = np.asarray(poly, dtype=np.float64)
     k = len(xy) // 2
     # COCO uses (int)(scale*v+.5): truncation toward zero for positive coords

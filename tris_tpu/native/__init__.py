@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host library (native/tris_native.cpp).
+
+Build with ``make -C native`` (g++ only; no external deps). Every entry point
+has a pure-Python fallback elsewhere in the package; importing this module
+raises if the shared library is absent, and callers catch that.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libtris_native.so")
+
+
+@functools.lru_cache()
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i = ctypes.c_int
+    f = ctypes.c_float
+
+    lib.tris_rle_decode.argtypes = [u32p, i, i, i, u8p]
+    lib.tris_rle_encode.argtypes = [u8p, i, i, u32p, i]
+    lib.tris_rle_encode.restype = i
+    lib.tris_polygon_to_rle.argtypes = [f64p, i, i, i, u32p, i]
+    lib.tris_polygon_to_rle.restype = i
+    lib.tris_connected_components.argtypes = [u8p, i, i, i32p]
+    lib.tris_connected_components.restype = i
+    lib.tris_dense_crf.argtypes = [u8p, f32p, i, i, i, i, f, f, f, f, f, f32p]
+    return lib
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except OSError:
+        return False
+
+
+def rle_decode(counts: np.ndarray, h: int, w: int) -> np.ndarray:
+    counts = np.ascontiguousarray(counts, np.uint32)
+    out = np.zeros((h, w), np.uint8)
+    _lib().tris_rle_decode(counts, len(counts), h, w, out)
+    return out
+
+
+def rle_encode(mask: np.ndarray) -> np.ndarray:
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask.shape
+    buf = np.zeros(h * w + 2, np.uint32)
+    n = _lib().tris_rle_encode(mask, h, w, buf, len(buf))
+    assert n >= 0
+    return buf[:n].copy()
+
+
+def polygon_to_counts(poly, h: int, w: int) -> np.ndarray:
+    xy = np.ascontiguousarray(poly, np.float64)
+    buf = np.zeros(h * w + 2, np.uint32)
+    n = _lib().tris_polygon_to_rle(xy, len(xy) // 2, h, w, buf, len(buf))
+    assert n >= 0
+    return buf[:n].copy()
+
+
+def connected_components(mask: np.ndarray):
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask.shape
+    labels = np.zeros((h, w), np.int32)
+    n = _lib().tris_connected_components(mask, h, w, labels)
+    return labels, int(n)
+
+
+class crf:
+    """Namespace matching tris_tpu.pseudo.crf's native hook."""
+
+    @staticmethod
+    def dense_crf_inference(image: np.ndarray, unary: np.ndarray, n_iters: int,
+                            gxy: float, gcompat: float, bxy: float, brgb: float,
+                            bcompat: float) -> np.ndarray:
+        image = np.ascontiguousarray(image, np.uint8)
+        L, h, w = unary.shape
+        unary = np.ascontiguousarray(unary.reshape(L, h * w), np.float32)
+        out = np.zeros((L, h * w), np.float32)
+        _lib().tris_dense_crf(image, unary, h, w, L, n_iters,
+                              gxy, gcompat, bxy, brgb, bcompat, out)
+        return out.reshape(L, h, w)
