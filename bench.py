@@ -29,7 +29,7 @@ def main() -> None:
 
     from tris_tpu.models.stage1 import Stage1Config, TRISStage1
 
-    batch = int(os.environ.get("TRIS_BENCH_BATCH", 64))
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
     iters = int(os.environ.get("TRIS_BENCH_ITERS", 20))
     dtype = jnp.bfloat16 if os.environ.get("TRIS_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
