@@ -81,6 +81,28 @@ def load_params_only(path: str, params):
     return serialization.from_state_dict(params, src)
 
 
+def resume_train_state(path: str, state):
+    """Full resume: restores params/batch_stats/opt_state/step when `path` is a
+    training checkpoint (reference load_checkpoint, utils/util.py:81-96);
+    falls back to params-only for plain variable files.
+
+    Returns (state, start_epoch_or_None).
+    """
+    payload = load_variables(path)
+    if "opt_state" in payload:
+        new_state, extra = load_train_checkpoint(path, state)
+        epoch = extra.get("epoch")
+        return new_state, (int(epoch) + 1 if epoch is not None else None)
+    state = state.replace(
+        params=serialization.from_state_dict(state.params, payload.get("params", payload))
+    )
+    if "batch_stats" in payload:
+        state = state.replace(
+            batch_stats=serialization.from_state_dict(state.batch_stats, payload["batch_stats"])
+        )
+    return state, None
+
+
 class BestCheckpointKeeper:
     """Best-by-metric checkpoint bookkeeping (train_stage1.py:172-217)."""
 

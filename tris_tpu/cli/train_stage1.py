@@ -33,6 +33,8 @@ from tris_tpu.utils.logging import MetricsWriter, create_logger
 
 
 def main(args):
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()  # NCCL init_process_group equivalent
     logger = create_logger(jax.process_index())
     writer = MetricsWriter(args.board_folder)
     mesh = create_mesh_for_batch(args.batch_size)
@@ -40,8 +42,14 @@ def main(args):
     model, variables = build_stage1(args, train=True)
     critic, critic_vars = build_critic(args)
 
+    resume_train_ckpt = None
     if args.resume and args.pretrain:
-        variables = load_pretrained(args, model, variables, "stage1")
+        if args.pretrain.endswith((".pth", ".pt")):
+            variables = load_pretrained(args, model, variables, "stage1")
+        else:
+            resume_train_ckpt = args.pretrain  # full resume after state creation
+            if args.eval:
+                variables = load_pretrained(args, model, variables, "stage1")
 
     eval_splits = args.test_split.split(",")
     loaders = build_loaders(args, train=not args.eval, eval_splits=eval_splits)
@@ -62,20 +70,35 @@ def main(args):
         model, variables, total_steps=total_steps, base_lr=args.lr,
         lr_multi=args.lr_multi, weight_decay=args.weight_decay, stage="stage1",
     )
+    start_epoch = args.start_epoch
+    if resume_train_ckpt:
+        from tris_tpu.ckpt.io import resume_train_state
+
+        state, resumed_epoch = resume_train_state(resume_train_ckpt, state)
+        if resumed_epoch is not None:
+            start_epoch = resumed_epoch
+        logger.info(f"resumed from {resume_train_ckpt} at epoch {start_epoch}")
     weights = Stage1LossWeights(w1=args.w1, w4=args.w4, w5=args.w5)
     step_fn = make_train_step(model, critic, weights)
     critic_vars = jax.device_put(critic_vars)
 
     keeper = BestCheckpointKeeper(args.output or "./output")
-    iteration = 0
+    iteration = start_epoch * steps_per_epoch
     t_start = time.time()
-    for epoch in range(args.start_epoch, args.epoch):
+    profile_dir = getattr(args, "profile", None)
+    for epoch in range(start_epoch, args.epoch):
         ep_start = time.time()
         batch_times = []
         for batch in loaders["train"].epoch(epoch):
             t0 = time.time()
+            if profile_dir and iteration == 10:
+                jax.profiler.start_trace(profile_dir)
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch, critic_vars)
+            if profile_dir and iteration == 20:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {profile_dir}")
             iteration += 1
             if iteration % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -23,13 +23,19 @@ from tris_tpu.utils.logging import MetricsWriter, create_logger
 
 
 def main(args):
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
     logger = create_logger(jax.process_index())
     writer = MetricsWriter(args.board_folder)
     mesh = create_mesh_for_batch(args.batch_size)
 
     model, variables = build_stage2(args, train=True)
+    resume_train_ckpt = None
     if args.resume and args.pretrain:
-        variables = load_pretrained(args, model, variables, "stage2")
+        if args.pretrain.endswith((".pth", ".pt")) or args.eval:
+            variables = load_pretrained(args, model, variables, "stage2")
+        else:
+            resume_train_ckpt = args.pretrain
 
     eval_splits = args.test_split.split(",")
     loaders = build_loaders(args, train=not args.eval, eval_splits=eval_splits)
@@ -48,13 +54,21 @@ def main(args):
         lr_multi=args.lr_multi, weight_decay=args.weight_decay, stage="stage2",
         with_ema=args.model_ema,
     )
+    start_epoch = args.start_epoch
+    if resume_train_ckpt:
+        from tris_tpu.ckpt.io import resume_train_state
+
+        state, resumed_epoch = resume_train_state(resume_train_ckpt, state)
+        if resumed_epoch is not None:
+            start_epoch = resumed_epoch
+        logger.info(f"resumed from {resume_train_ckpt} at epoch {start_epoch}")
     tcfg = Stage2TrainConfig(use_ema=args.model_ema, consistency=args.consistency_type)
     step_fn = make_train_step(model, tcfg)
 
     keeper = BestCheckpointKeeper(args.output or "./output")
-    iteration = 0
+    iteration = start_epoch * steps_per_epoch
     t_start = time.time()
-    for epoch in range(args.start_epoch, args.epoch):
+    for epoch in range(start_epoch, args.epoch):
         for batch in loaders["train"].epoch(epoch):
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch)

@@ -82,6 +82,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--seed", default=1234, type=int)
     parser.add_argument("--eval_batch", default=8, type=int, help="refs per eval batch")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() for multi-host DP")
+    parser.add_argument("--profile", default=None, type=str,
+                        help="capture a jax.profiler trace of steps 10-20 to this dir")
     return parser
 
 
