@@ -153,5 +153,8 @@ def build_loaders(args, train: bool, eval_splits=None):
             args.refer_data_root, dataset, split_by, split, size=args.size,
             max_tokens=args.max_query_len, eval_mode=True,
         )
-        loaders[split] = Loader(ds, args.eval_batch, shuffle=False, drop_last=False)
+        loaders[split] = Loader(
+            ds, args.eval_batch, shuffle=False, drop_last=False,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
     return loaders

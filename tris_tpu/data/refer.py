@@ -144,6 +144,48 @@ class REFER:
         return {"mask": m, "area": area}
 
 
+    # ---- visualization (refer.py:235-277,329-333) --------------------------
+
+    def showRef(self, ref: dict, seg_box: str = "seg"):
+        """Draw the image with the referred object's polygons or box."""
+        import matplotlib.pyplot as plt
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Polygon, Rectangle
+        from PIL import Image
+
+        ax = plt.gca()
+        image = self.Imgs[ref["image_id"]]
+        ax.imshow(Image.open(os.path.join(self.IMAGE_DIR, image["file_name"])))
+        for sid, sent in enumerate(ref["sentences"]):
+            print(f"{sid + 1}. {sent['sent']}")
+        ann = self.Anns[ref["ann_id"]]
+        if seg_box == "seg":
+            seg = ann["segmentation"]
+            if isinstance(seg[0] if isinstance(seg, list) else None, list):
+                polygons = [
+                    Polygon(np.asarray(p).reshape(len(p) // 2, 2), closed=True, alpha=0.4)
+                    for p in seg
+                ]
+                ax.add_collection(PatchCollection(
+                    polygons, facecolors="none", edgecolors=(1, 1, 0), linewidths=3))
+                ax.add_collection(PatchCollection(
+                    polygons, facecolors="none", edgecolors=(1, 0, 0), linewidths=1))
+            else:
+                m = mask_ops.segmentation_to_mask(seg, image["height"], image["width"])
+                overlay = np.zeros((*m.shape, 4))
+                overlay[..., 1] = 0.65
+                overlay[..., 3] = m * 0.5
+                ax.imshow(overlay)
+        elif seg_box == "box":
+            x, y, w, h = self.getRefBox(ref["ref_id"])
+            ax.add_patch(Rectangle((x, y), w, h, fill=False, edgecolor="green", linewidth=3))
+
+    def showMask(self, ref: dict):
+        import matplotlib.pyplot as plt
+
+        plt.gca().imshow(self.getMask(ref)["mask"])
+
+
 def _as_list(x) -> list:
     if x is None:
         return []

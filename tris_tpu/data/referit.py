@@ -29,6 +29,21 @@ def _tokenize_query(query: str, max_tokens: int) -> np.ndarray:
     return tokenize(query, context_length=77, truncate=True)[0, :max_tokens].astype(np.int32)
 
 
+def load_referit_gt_mask(mask_path: str) -> np.ndarray:
+    """SAIAPR TC-12 .mat ground-truth mask (Dataset_referit.py:21-24)."""
+    from scipy import io as sio
+
+    mat = sio.loadmat(mask_path)
+    return mat["segimg_t"] == 0
+
+
+def save_tmp_mask(input_path: str, save_name: str) -> None:
+    """Dump a .mat gt mask as a PNG (Dataset_referit.py:26-28)."""
+    import cv2
+
+    cv2.imwrite(save_name, load_referit_gt_mask(input_path).astype(np.uint8) * 255)
+
+
 class ReferItTrainDataset:
     def __init__(self, root: str, split: str = "train", size: int = 320,
                  max_tokens: int = 20, negative_samples: int = 0):

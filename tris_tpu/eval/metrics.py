@@ -185,6 +185,32 @@ class SegEvalAccumulator:
             self.box_miou.update(eval_box_iou(bbox_hit, gt_box), weight)
             self.box_acc.update(eval_box_acc(boxes, gt_box), weight)
 
+    def merge_across_processes(self):
+        """Sum raw counters over all JAX processes (the TPU equivalent of the
+        reference's dist.all_reduce metric aggregation, utils/util.py:17-27)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils
+
+        vec = np.array(
+            [self.miou.sum, self.miou.count, self.I, self.U, self.hit, self.hitm,
+             self.n, self.box_miou.sum, self.box_miou.count, self.box_acc.sum,
+             self.box_acc.count]
+            + [self.prec_hits[t] for t in SEG_IOU_THRESHOLDS],
+            dtype=np.float64,
+        )
+        total = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+        (self.miou.sum, self.miou.count, self.I, self.U, self.hit, self.hitm,
+         self.n, self.box_miou.sum, self.box_miou.count, self.box_acc.sum,
+         self.box_acc.count) = total[:11]
+        self.miou.count = int(self.miou.count)
+        self.n = int(self.n)
+        for i, t in enumerate(SEG_IOU_THRESHOLDS):
+            self.prec_hits[t] = total[11 + i]
+        return self
+
     def results(self) -> dict:
         res = {
             "mIoU": 100.0 * self.miou.avg,

@@ -155,7 +155,7 @@ def validate(
         os.makedirs(name_save_dir, exist_ok=True)
         with open(os.path.join(name_save_dir, f"{dataset_name}_train_cam_name.json"), "w") as f:
             json.dump(cam_out_names, f)
-    return acc.results()
+    return acc.merge_across_processes().results()
 
 
 def validate_prms(
@@ -207,4 +207,4 @@ def validate_prms(
         os.makedirs(name_save_dir, exist_ok=True)
         with open(os.path.join(name_save_dir, f"{dataset_name}_train_names.json"), "w") as f:
             json.dump(cam_out_names, f)
-    return acc.results()
+    return acc.merge_across_processes().results()
