@@ -164,3 +164,34 @@ def propagate_to_edge(
 @functools.lru_cache(maxsize=8)
 def _padded_path_index(radius: int, size: Tuple[int, int]) -> PathIndex:
     return PathIndex(radius, size)
+
+
+def propagate_to_edge_bucketed(
+    x: np.ndarray,
+    edge: np.ndarray,
+    radius: int = 5,
+    beta: float = 10.0,
+    exp_times: int = 8,
+    bucket: int = 32,
+    max_instances: int = 16,
+) -> np.ndarray:
+    """Shape-bucketed random walk: pads (H, W) up to multiples of ``bucket``
+    and K up to ``max_instances`` so jit compiles once per bucket instead of
+    once per image size.
+
+    The padding is EXACT, not approximate: padded pixels get edge = 1, so
+    every path crossing them has affinity 1 - max(edge) = 0, the transition
+    matrix gives them only a self-loop, and the source maps are zero there —
+    the walk cannot enter or leave the pad region.
+    """
+    K, H, W = x.shape
+    Hp = -(-H // bucket) * bucket
+    Wp = -(-W // bucket) * bucket
+    Kp = min(-(-K // max_instances) * max_instances, max(K, max_instances))
+    x_p = np.zeros((Kp, Hp, Wp), np.float32)
+    x_p[:K, :H, :W] = x
+    edge_p = np.ones((Hp, Wp), np.float32)
+    edge_p[:H, :W] = edge
+    rw = propagate_to_edge(jnp.asarray(x_p), jnp.asarray(edge_p),
+                           radius=radius, beta=beta, exp_times=exp_times)
+    return np.asarray(rw)[:K, :H, :W]

@@ -30,7 +30,7 @@ from scipy import ndimage
 
 from tris_tpu.ops.resize import bilinear_resize
 from tris_tpu.pseudo.crf import crf_inference_label
-from tris_tpu.pseudo.indexing import propagate_to_edge
+from tris_tpu.pseudo.indexing import propagate_to_edge_bucketed
 
 
 # ---------------------------------------------------------------------------
@@ -182,8 +182,11 @@ def make_instance_masks(
     )[0, 0]
     instance_cam = cam_small[None] * instance_map.astype(np.float32)  # [K, h4, w4]
 
-    rw = propagate_to_edge(jnp.asarray(instance_cam), jnp.asarray(edge),
-                           radius=5, beta=beta, exp_times=exp_times)  # [K, h4, w4]
+    rw = propagate_to_edge_bucketed(
+        instance_cam.astype(np.float32), np.asarray(edge, np.float32),
+        radius=5, beta=beta, exp_times=exp_times,
+    )  # [K, h4, w4]
+    rw = jnp.asarray(rw)
 
     rw_up = bilinear_resize(
         rw[:, None], (rw.shape[1] * 4, rw.shape[2] * 4), align_corners=False
