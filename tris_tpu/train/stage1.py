@@ -20,7 +20,6 @@ response map, as in the reference.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
