@@ -66,11 +66,19 @@ def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate:
         )
         state = state.apply_gradients(grads, new_stats)
         if cfg.use_ema and state.ema_params is not None:
+            # ema_pytorch semantics (the reference's EMA(model) defaults):
+            # update every `update_every` steps after `update_after`, with the
+            # decay ramping in as 1 - (1 + k)^(-2/3) capped at `ema_decay`.
+            k = jnp.maximum(
+                (state.step - cfg.ema_update_after) // cfg.ema_update_every, 0
+            ).astype(jnp.float32)
+            decay = jnp.minimum(cfg.ema_decay, 1.0 - jnp.power(1.0 + k, -2.0 / 3.0))
+            decay = jnp.clip(decay, 0.0, cfg.ema_decay)
             do_update = jnp.logical_and(
                 state.step > cfg.ema_update_after,
                 (state.step % cfg.ema_update_every) == 0,
             )
-            new_ema = ema_update(state.ema_params, state.params, cfg.ema_decay)
+            new_ema = ema_update(state.ema_params, state.params, decay)
             ema = jax.tree_util.tree_map(
                 lambda e, n: jnp.where(do_update, n, e), state.ema_params, new_ema
             )
