@@ -9,10 +9,12 @@ environment has no CUDA GPU to measure the PyTorch reference on, so
 else null.
 
 Env knobs:
-  TRIS_BENCH_BATCH   (default 64)
+  TRIS_BENCH_BATCH   (default 128)
   TRIS_BENCH_SIZE    (default 320)
   TRIS_BENCH_DTYPE   (default bf16; 'f32' for full precision)
   TRIS_BENCH_ITERS   (default 20)
+  TRIS_BENCH_MODE    (default 'infer'; 'train' benches the full stage-1
+                      training step incl. frozen-critic losses + AdamW)
 """
 
 from __future__ import annotations
@@ -28,6 +30,10 @@ def main() -> None:
     import numpy as np
 
     from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+
+    mode = os.environ.get("TRIS_BENCH_MODE", "infer")
+    if mode == "train":
+        return bench_train()
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
@@ -93,6 +99,55 @@ def main() -> None:
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": vs,
+    }))
+
+
+def bench_train() -> None:
+    """Full stage-1 training step throughput (model fwd/bwd + frozen ViT-B/32
+    critic losses + per-group AdamW update)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tris_tpu.models.clip import CLIP, CLIP_CONFIGS
+    from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+    from tris_tpu.train.stage1 import Stage1LossWeights, make_train_step
+    from tris_tpu.train.state import create_train_state
+
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 48))
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 15))
+    negatives = 3
+
+    model = TRISStage1(Stage1Config(), dtype=jnp.bfloat16)
+    critic = CLIP(dataclasses.replace(CLIP_CONFIGS["ViT-B-32"], txt_length=20),
+                  dtype=jnp.bfloat16)
+    img = jnp.zeros((batch, size, size, 3), jnp.float32)
+    ids = jnp.zeros((batch, 20), jnp.int32).at[:, 0].set(49406).at[:, 2].set(49407)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda k: model.init(k, img, ids, train=True))(key)
+    critic_vars = jax.jit(lambda k: critic.init(k, jnp.zeros((1, 224, 224, 3)), ids[:1]))(key)
+    state = create_train_state(model, variables, total_steps=10 ** 6)
+    step = make_train_step(model, critic, Stage1LossWeights(), donate=True)
+    bt = {
+        "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
+        "word_ids": ids,
+        "neg_word_ids": jnp.broadcast_to(ids[:, None], (batch, negatives, 20)),
+    }
+    state, m = step(state, bt, critic_vars)
+    float(m["loss"])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, bt, critic_vars)
+    float(m["loss"])  # forces completion of the chain
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "stage1_rn50_320px_train_step_throughput_per_chip",
+        "value": round(batch * iters / dt / jax.device_count(), 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
     }))
 
 

@@ -86,6 +86,30 @@ def test_vit_critic_embeds():
     np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, atol=1e-6)
 
 
+def test_full_size_configs_build():
+    """Full RN50/RN101/ViT configs construct with consistent shapes
+    (jax.eval_shape: no FLOPs)."""
+    for backbone in ("RN50", "RN101"):
+        cfg = Stage1Config(backbone=backbone, hidden_dim=1024)
+        model = TRISStage1(cfg)
+        shapes = jax.eval_shape(
+            lambda m=model: m.init(
+                jax.random.PRNGKey(0), jnp.zeros((2, 320, 320, 3)),
+                jnp.ones((2, 20), jnp.int32), train=True,
+            )
+        )
+        assert "backbone" in shapes["params"]
+        # lan_project maps the projected text embed (1024 RN50 / 512 RN101)
+        want_in = 1024 if backbone == "RN50" else 512
+        assert shapes["params"]["lan_project"]["kernel"].shape == (want_in, 1024)
+    s2 = TRISStage2(Stage2Config(backbone="RN50"))
+    shapes = jax.eval_shape(
+        lambda: s2.init(jax.random.PRNGKey(0), jnp.zeros((2, 320, 320, 3)),
+                        jnp.ones((2, 20), jnp.int32), train=True)
+    )
+    assert shapes["params"]["attention4"]["Wk"]["kernel"].shape == (512, 2048)
+
+
 def test_text_eot_selection():
     """EOT embedding must come from the argmax(id) position (model.py:562)."""
     model = CLIP(TINY_RESNET_CLIP)
