@@ -393,6 +393,7 @@ class Permutohedral {
     }
     // blur along each lattice direction
     for (int j = 0; j <= d_; ++j) {
+#pragma omp parallel for schedule(static)
       for (int i = 0; i < m_; ++i) {
         int n1 = blur_n1_[(size_t)i * (d_ + 1) + j] + 1;
         int n2 = blur_n2_[(size_t)i * (d_ + 1) + j] + 1;
@@ -406,6 +407,7 @@ class Permutohedral {
     }
     // slice (alpha corrects for the blur gain)
     const float alpha = 1.0f / (1.0f + std::pow(2.0f, -(float)d_));
+#pragma omp parallel for schedule(static)
     for (int p = 0; p < n_; ++p) {
       for (int c = 0; c < vd; ++c) out[(size_t)p * vd + c] = 0.f;
       for (int rm = 0; rm <= d_; ++rm) {
@@ -428,9 +430,11 @@ void normalized_filter(const Permutohedral& lattice, const float* q, float* out,
                        int n, int L, const std::vector<float>& norm) {
   // symmetric normalization: out = N^{1/2-ish} K (N q), densecrf style
   std::vector<float> tmp((size_t)n * L);
+#pragma omp parallel for schedule(static)
   for (int p = 0; p < n; ++p)
     for (int c = 0; c < L; ++c) tmp[(size_t)p * L + c] = q[(size_t)p * L + c] * norm[p];
   lattice.compute(tmp.data(), out, L);
+#pragma omp parallel for schedule(static)
   for (int p = 0; p < n; ++p)
     for (int c = 0; c < L; ++c) out[(size_t)p * L + c] *= norm[p];
 }
@@ -477,6 +481,7 @@ void tris_dense_crf(const uint8_t* img, const float* unary, int h, int w, int L,
     for (int p = 0; p < n; ++p) U[(size_t)p * L + c] = unary[(size_t)c * n + p];
 
   auto exp_normalize = [&](const std::vector<float>& src) {
+#pragma omp parallel for schedule(static)
     for (int p = 0; p < n; ++p) {
       const float* s = &src[(size_t)p * L];
       float mx = s[0];
