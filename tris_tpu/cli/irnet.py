@@ -33,6 +33,8 @@ def get_irn_parser() -> argparse.ArgumentParser:
     p.add_argument("--conf_fg_thres", default=0.3, type=float)
     p.add_argument("--conf_bg_thres", default=0.1, type=float)
     p.add_argument("--irn_crop_size", default=512, type=int)
+    p.add_argument("--irn_radius", default=10, type=int,
+                   help="affinity path radius; crop_size/4 must exceed 2*(radius-1)")
     p.add_argument("--irn_batch_size", default=24, type=int)
     p.add_argument("--irn_num_epoches", default=3, type=int)
     p.add_argument("--irn_learning_rate", default=0.1, type=float)
@@ -58,6 +60,7 @@ def main(args):
         conf_fg_thres=args.conf_fg_thres,
         conf_bg_thres=args.conf_bg_thres,
         crop_size=args.irn_crop_size,
+        radius=args.irn_radius,
         beta=args.beta,
         exp_times=args.exp_times,
         ins_seg_bg_thres=args.ins_seg_bg_thres,

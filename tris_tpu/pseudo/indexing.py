@@ -71,6 +71,12 @@ class PathIndex:
         full = np.arange(h * w, dtype=np.int64).reshape(h, w)
         ch = h - rf
         cw = w - 2 * rf
+        if ch <= 0 or cw <= 0:
+            raise ValueError(
+                f"PathIndex size {size} too small for radius {self.radius}: "
+                f"needs height > {rf} and width > {2 * rf} "
+                f"(IRNet: crop_size/4 must exceed 2*(radius-1))"
+            )
 
         path_indices = []
         for paths in self.paths_by_length:
