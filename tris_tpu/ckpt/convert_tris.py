@@ -158,7 +158,9 @@ def convert_irnet_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
         arr = _np(val)
         if key.endswith("num_batches_tracked"):
             continue
-        if key == "mean_shift.running_mean":
+        if key in ("mean_shift.running_mean", "fc_dp7.4.running_mean"):
+            # the MeanShift module is aliased inside the fc_dp7 Sequential
+            # (resnet50_irn.py:108-114), so real state_dicts carry both keys
             _set(stats, ("mean_shift",), arr)
             continue
         if key.startswith("resnet50."):
