@@ -185,12 +185,15 @@ class SegEvalAccumulator:
             self.box_miou.update(eval_box_iou(bbox_hit, gt_box), weight)
             self.box_acc.update(eval_box_acc(boxes, gt_box), weight)
 
-    def merge_across_processes(self):
+    def merge_across_processes(self, force: bool = False):
         """Sum raw counters over all JAX processes (the TPU equivalent of the
-        reference's dist.all_reduce metric aggregation, utils/util.py:17-27)."""
+        reference's dist.all_reduce metric aggregation, utils/util.py:17-27).
+
+        ``force`` runs the allgather even single-process (used by tests to
+        exercise the collective path)."""
         import jax
 
-        if jax.process_count() == 1:
+        if jax.process_count() == 1 and not force:
             return self
         from jax.experimental import multihost_utils
 

@@ -9,6 +9,13 @@ computed over the *global* batch, which is exactly SyncBatchNorm.
 
 Model parameters are replicated; this model is ~150M params, so no TP/FSDP is
 needed (matching the reference, which has none).
+
+Batch semantics (multihost): ``batch_size`` flags are PER-PROCESS, matching
+the reference's DDP convention (torch DataLoader batch_size per rank under
+DistributedSampler, train_stage1.py:107-118). The global batch under ``jit``
+is ``batch_size * jax.process_count()``; each process feeds its local shard
+and :func:`shard_batch` assembles the global array via
+``jax.make_array_from_process_local_data``.
 """
 
 from __future__ import annotations
@@ -28,9 +35,24 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA
 
 
 def create_mesh_for_batch(batch_size: int, axis: str = DATA_AXIS) -> Mesh:
-    """Largest device prefix whose count divides ``batch_size`` (so small
-    debug batches still run; production batches use every chip)."""
+    """Mesh sized to the batch. ``batch_size`` is the PER-PROCESS batch; the
+    global batch is ``batch_size * process_count``.
+
+    Single-process: largest device prefix whose count divides ``batch_size``
+    (so small debug batches still run; production batches use every chip).
+    Multi-process: every process must use all its devices (a mesh must cover
+    all addressable devices of each participating process), so the local
+    batch must divide evenly instead.
+    """
     devices = jax.devices()
+    if jax.process_count() > 1:
+        local = jax.local_device_count()
+        if batch_size % local != 0:
+            raise ValueError(
+                f"per-process batch_size={batch_size} must be divisible by "
+                f"local device count {local} in a multihost run"
+            )
+        return Mesh(np.array(devices), (axis,))
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
@@ -47,9 +69,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
-    """Place every array in `tree` with its leading dim sharded over the mesh."""
+    """Assemble each process's local batch into a global batch-sharded array.
+
+    Every array's leading dim is sharded over the mesh's data axis. In a
+    multi-process run each process passes its LOCAL shard (per-process batch)
+    and the global array has leading dim ``local * process_count``
+    (`jax.make_array_from_process_local_data`, the jax.Array replacement for
+    per-rank DDP batches). Single-process it is equivalent to a device_put.
+    """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate_tree(mesh: Mesh, tree):
