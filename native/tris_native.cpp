@@ -448,12 +448,16 @@ std::vector<float> make_norm(const Permutohedral& lattice, int n) {
 
 }  // namespace
 
-void tris_dense_crf(const uint8_t* img, const float* unary, int h, int w, int L,
-                    int n_iters, float gxy, float gcompat, float bxy, float brgb,
-                    float bcompat, float* q_out) {
+// K independent mean-field problems over the SAME image share the lattice
+// construction (the dominant cost) and run fused: one splat/blur/slice per
+// kernel per iteration over all K*L channels. unary/q_out: [K, L, h*w].
+void tris_dense_crf_multi(const uint8_t* img, const float* unary, int K, int h,
+                          int w, int L, int n_iters, float gxy, float gcompat,
+                          float bxy, float brgb, float bcompat, float* q_out) {
   const int n = h * w;
+  const int C = K * L;  // fused channel count
 
-  // build lattices
+  // build lattices (once for all K problems)
   std::vector<float> feat_g((size_t)n * 2);
   std::vector<float> feat_b((size_t)n * 5);
   for (int r = 0; r < h; ++r) {
@@ -474,25 +478,29 @@ void tris_dense_crf(const uint8_t* img, const float* unary, int h, int w, int L,
   std::vector<float> norm_g = make_norm(lat_g, n);
   std::vector<float> norm_b = make_norm(lat_b, n);
 
-  // unary comes in [L, h*w]; work in pixel-major [n, L]
-  std::vector<float> U((size_t)n * L), Q((size_t)n * L), tmp1((size_t)n * L),
-      f1((size_t)n * L), f2((size_t)n * L);
-  for (int c = 0; c < L; ++c)
-    for (int p = 0; p < n; ++p) U[(size_t)p * L + c] = unary[(size_t)c * n + p];
+  // unary comes in [K, L, h*w]; work pixel-major [n, K*L]
+  std::vector<float> U((size_t)n * C), Q((size_t)n * C), tmp1((size_t)n * C),
+      f1((size_t)n * C), f2((size_t)n * C);
+  for (int k = 0; k < K; ++k)
+    for (int c = 0; c < L; ++c)
+      for (int p = 0; p < n; ++p)
+        U[(size_t)p * C + k * L + c] = unary[((size_t)k * L + c) * n + p];
 
   auto exp_normalize = [&](const std::vector<float>& src) {
 #pragma omp parallel for schedule(static)
     for (int p = 0; p < n; ++p) {
-      const float* s = &src[(size_t)p * L];
-      float mx = s[0];
-      for (int c = 1; c < L; ++c) mx = std::max(mx, s[c]);
-      float sum = 0;
-      float* qd = &Q[(size_t)p * L];
-      for (int c = 0; c < L; ++c) {
-        qd[c] = std::exp(s[c] - mx);
-        sum += qd[c];
+      for (int k = 0; k < K; ++k) {
+        const float* s = &src[(size_t)p * C + k * L];
+        float mx = s[0];
+        for (int c = 1; c < L; ++c) mx = std::max(mx, s[c]);
+        float sum = 0;
+        float* qd = &Q[(size_t)p * C + k * L];
+        for (int c = 0; c < L; ++c) {
+          qd[c] = std::exp(s[c] - mx);
+          sum += qd[c];
+        }
+        for (int c = 0; c < L; ++c) qd[c] /= sum;
       }
-      for (int c = 0; c < L; ++c) qd[c] /= sum;
     }
   };
 
@@ -500,15 +508,24 @@ void tris_dense_crf(const uint8_t* img, const float* unary, int h, int w, int L,
   exp_normalize(tmp1);
 
   for (int it = 0; it < n_iters; ++it) {
-    normalized_filter(lat_g, Q.data(), f1.data(), n, L, norm_g);
-    normalized_filter(lat_b, Q.data(), f2.data(), n, L, norm_b);
+    normalized_filter(lat_g, Q.data(), f1.data(), n, C, norm_g);
+    normalized_filter(lat_b, Q.data(), f2.data(), n, C, norm_b);
     for (size_t i = 0; i < U.size(); ++i)
       tmp1[i] = -U[i] + gcompat * f1[i] + bcompat * f2[i];
     exp_normalize(tmp1);
   }
 
-  for (int c = 0; c < L; ++c)
-    for (int p = 0; p < n; ++p) q_out[(size_t)c * n + p] = Q[(size_t)p * L + c];
+  for (int k = 0; k < K; ++k)
+    for (int c = 0; c < L; ++c)
+      for (int p = 0; p < n; ++p)
+        q_out[((size_t)k * L + c) * n + p] = Q[(size_t)p * C + k * L + c];
+}
+
+void tris_dense_crf(const uint8_t* img, const float* unary, int h, int w, int L,
+                    int n_iters, float gxy, float gcompat, float bxy, float brgb,
+                    float bcompat, float* q_out) {
+  tris_dense_crf_multi(img, unary, 1, h, w, L, n_iters, gxy, gcompat, bxy, brgb,
+                       bcompat, q_out);
 }
 
 }  // extern "C"

@@ -61,7 +61,7 @@ def test_eval_example(fake_root):
     root, expected = fake_root
     ds = ReferSegDataset(root, split="val", size=64, eval_mode=True)
     ex = ds.eval_example(0)
-    assert ex["word_ids"].shape == (ds.max_sents, 20)
+    assert ex["word_ids"].shape == (ex["num_sents"], 20)  # unpadded; Loader buckets
     assert ex["num_sents"] == 2
     assert ex["target"].shape == (48, 64)
     assert ex["orig_size"].tolist() == [48, 64]
@@ -88,6 +88,26 @@ def test_loader_batching_and_determinism(fake_root):
     assert any(
         not np.array_equal(a["word_ids"], c["word_ids"]) for a, c in zip(b1, b3)
     )
+
+
+def test_eval_loader_buckets_and_pads_final_batch(fake_root):
+    """Eval batches pad sentences to a power-of-two bucket of the batch max
+    (not the dataset-wide max) and pad the short final batch to full size with
+    num_sents=0 rows (VERDICT r1 item 6: kills per-S and last-batch recompiles)."""
+    root, _ = fake_root
+    ds = ReferSegDataset(root, split="train", size=64, eval_mode=True)  # 6 refs
+    loader = Loader(ds, batch_size=4, shuffle=False, drop_last=False, num_threads=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    for batch in batches:
+        S = batch["word_ids"].shape[1]
+        assert S & (S - 1) == 0  # power of two
+        assert S >= max(int(n) for n in batch["num_sents"])
+        assert batch["word_ids"].shape[0] == 4  # always full batch
+        assert "batch_valid" in batch
+    last = batches[-1]  # 6 % 4 = 2 real rows, 2 padded
+    assert last["batch_valid"].tolist() == [1, 1, 0, 0]
+    assert last["num_sents"][2:].tolist() == [0, 0]
 
 
 def test_loader_process_sharding(fake_root):

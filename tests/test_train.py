@@ -13,7 +13,12 @@ from tris_tpu.models.stage2 import Stage2Config, TRISStage2
 from tris_tpu.parallel.mesh import create_mesh, replicate_tree, shard_batch
 from tris_tpu.train import stage1 as train_stage1
 from tris_tpu.train import stage2 as train_stage2
-from tris_tpu.train.state import create_train_state, make_optimizer, poly_schedule
+from tris_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    poly_epoch_schedule,
+    poly_schedule,
+)
 
 
 def _tree_delta(a, b):
@@ -26,6 +31,23 @@ def test_poly_schedule():
     assert float(sched(0)) == 1.0
     assert np.isclose(float(sched(50)), 0.5 ** 0.9)
     assert float(sched(100)) == 0.0
+
+
+def test_poly_epoch_schedule_matches_reference_polynomial_lr_decay():
+    """Pins PolynomialLRDecay semantics (utils/poly_lr_decay.py:22-28):
+    lr(epoch) = (base-end)*(1-epoch/max)^p + end, frozen at end after max."""
+    base, end, power, max_decay, spe = 1.0, 0.1, 2.0, 4, 10
+    sched = poly_epoch_schedule(base, end, power, max_decay, spe)
+
+    def ref_lr(last_step):
+        if last_step > max_decay:
+            return end
+        return (base - end) * (1 - last_step / max_decay) ** power + end
+
+    for epoch in range(8):
+        # during epoch k the torch scheduler has been stepped k times
+        got = float(sched(epoch * spe + 3))
+        assert np.isclose(got, ref_lr(epoch), rtol=1e-6), (epoch, got, ref_lr(epoch))
 
 
 def test_optimizer_groups_stage1():
@@ -114,6 +136,65 @@ def test_stage2_train_step_with_ema(rng):
         jax.tree_util.tree_map(np.asarray, state.ema_params),
     )
     assert max(d.values()) > 0.0
+
+
+def test_stage2_ema_teacher_semantics(rng):
+    """Pins ema_pytorch teacher semantics (reference EMA(model) defaults,
+    train_stage2.py:258-260,328-332):
+    - copy phase: while counter <= update_after, on update steps the teacher
+      (params AND BN buffers) is copied from the student;
+    - afterwards it moves by EMA with the ramped decay;
+    - between update steps it stays frozen."""
+    B = 4
+    cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
+    model = TRISStage2(cfg)
+    img = jnp.zeros((B, 64, 64, 3))
+    ids = jnp.ones((B, 20), jnp.int32).at[:, 5].set(49407)
+    variables = model.init(jax.random.PRNGKey(1), img, ids, train=True)
+    batch = {
+        "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "word_ids": np.asarray(ids),
+        "pseudo": (rng.random((B, 64, 64, 1)) > 0.5).astype(np.float32),
+    }
+
+    # update_after=2, update_every=2: counters 0,2 copy; 4+ EMA; odd counters frozen
+    tcfg = train_stage2.Stage2TrainConfig(use_ema=True, ema_update_after=2, ema_update_every=2)
+    step_fn = train_stage2.make_train_step(model, tcfg, donate=False)
+    state = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+
+    def leaves(tree):
+        return jax.tree_util.tree_map(np.asarray, tree)
+
+    s1, _ = step_fn(state, batch)  # counter 0: copy phase, update step
+    np.testing.assert_allclose(
+        np.asarray(flatten_dict(leaves(s1.ema_params))[("output1", "conv", "kernel")]),
+        np.asarray(flatten_dict(leaves(s1.params))[("output1", "conv", "kernel")]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(flatten_dict(leaves(s1.ema_batch_stats))[("output1", "bn", "mean")]),
+        np.asarray(flatten_dict(leaves(s1.batch_stats))[("output1", "bn", "mean")]),
+    )
+
+    s2, _ = step_fn(s1, batch)  # counter 1: frozen
+    assert max(_tree_delta(leaves(s2.ema_params), leaves(s1.ema_params)).values()) == 0.0
+
+    s3, _ = step_fn(s2, batch)  # counter 2: still copy phase (<= update_after)
+    np.testing.assert_allclose(
+        np.asarray(flatten_dict(leaves(s3.ema_params))[("output1", "conv", "kernel")]),
+        np.asarray(flatten_dict(leaves(s3.params))[("output1", "conv", "kernel")]),
+    )
+
+    s4, _ = step_fn(s3, batch)  # counter 3: frozen
+    s5, _ = step_fn(s4, batch)  # counter 4: EMA with decay 1-(1+1)^(-2/3)
+    decay = 1.0 - (1.0 + 1.0) ** (-2.0 / 3.0)
+    key = ("output1", "conv", "kernel")
+    expect = (np.asarray(flatten_dict(leaves(s4.ema_params))[key]) * decay
+              + np.asarray(flatten_dict(leaves(s5.params))[key]) * (1 - decay))
+    np.testing.assert_allclose(
+        np.asarray(flatten_dict(leaves(s5.ema_params))[key]), expect, rtol=1e-5, atol=1e-7
+    )
+    # teacher no longer equals student once EMA starts
+    assert _tree_delta(leaves(s5.ema_params), leaves(s5.params))[key] > 0.0
 
 
 def test_stage2_positional_embedding_in_head_group():

@@ -11,8 +11,11 @@ Two layers:
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Optional
 
 import jax
@@ -24,12 +27,17 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_variables(path: str, variables: dict) -> str:
+def _write_msgpack(path: str, host_tree: dict) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    data = serialization.msgpack_serialize(_to_numpy_tree(variables))
-    with open(path, "wb") as f:
-        f.write(data)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(host_tree))
+    os.replace(tmp, path)  # atomic: a crash mid-write never corrupts the ckpt
     return path
+
+
+def save_variables(path: str, variables: dict) -> str:
+    return _write_msgpack(path, _to_numpy_tree(variables))
 
 
 def load_variables(path: str) -> dict:
@@ -37,8 +45,9 @@ def load_variables(path: str) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def save_train_checkpoint(path: str, state, extra: Optional[dict] = None) -> str:
-    """Serialize a TrainState (+ extras like epoch) to one msgpack file."""
+def _train_checkpoint_payload(state, extra: Optional[dict] = None) -> dict:
+    """Fetch a TrainState to host numpy (must happen synchronously: the train
+    step donates the state's buffers, so device arrays can't be read later)."""
     payload = {
         "step": np.asarray(state.step),
         "params": _to_numpy_tree(state.params),
@@ -48,9 +57,53 @@ def save_train_checkpoint(path: str, state, extra: Optional[dict] = None) -> str
     }
     if getattr(state, "ema_params", None) is not None:
         payload["ema_params"] = _to_numpy_tree(state.ema_params)
+    if getattr(state, "ema_batch_stats", None) is not None:
+        payload["ema_batch_stats"] = _to_numpy_tree(state.ema_batch_stats)
     if extra:
         payload["extra"] = {k: np.asarray(v) for k, v in extra.items()}
-    return save_variables(path, payload)
+    return payload
+
+
+def save_train_checkpoint(path: str, state, extra: Optional[dict] = None) -> str:
+    """Serialize a TrainState (+ extras like epoch) to one msgpack file."""
+    return _write_msgpack(path, _train_checkpoint_payload(state, extra))
+
+
+class AsyncCheckpointWriter:
+    """Overlaps checkpoint serialization + disk IO with training.
+
+    The device->host fetch stays on the caller (donation safety); the msgpack
+    encode and file write — the multi-second part at 150M params — run on a
+    single background thread, preserving submission order (so delete-previous
+    -best then write-new-best sequences stay correct). ``wait()`` flushes;
+    also flushed at interpreter exit.
+    """
+
+    def __init__(self):
+        self._executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+        self._lock = threading.Lock()
+        self._futures = []
+        atexit.register(self.wait)
+
+    def submit(self, fn, *args):
+        with self._lock:
+            self._futures = [f for f in self._futures if not f.done()]
+            fut = self._executor.submit(fn, *args)
+            self._futures.append(fut)
+        return fut
+
+    def save_train_checkpoint(self, path: str, state, extra: Optional[dict] = None):
+        payload = _train_checkpoint_payload(state, extra)  # sync fetch
+        return self.submit(_write_msgpack, path, payload)
+
+    def remove(self, path: str):
+        return self.submit(lambda p: os.path.exists(p) and os.remove(p), path)
+
+    def wait(self):
+        with self._lock:
+            futures, self._futures = self._futures, []
+        for f in futures:
+            f.result()  # re-raises writer errors on the main thread
 
 
 def load_train_checkpoint(path: str, state):
@@ -69,6 +122,12 @@ def load_train_checkpoint(path: str, state):
     if "ema_params" in payload and getattr(state, "ema_params", None) is not None:
         new_state = new_state.replace(
             ema_params=serialization.from_state_dict(state.ema_params, payload["ema_params"])
+        )
+    if "ema_batch_stats" in payload and getattr(state, "ema_batch_stats", None) is not None:
+        new_state = new_state.replace(
+            ema_batch_stats=serialization.from_state_dict(
+                state.ema_batch_stats, payload["ema_batch_stats"]
+            )
         )
     return new_state, payload.get("extra", {})
 
@@ -104,11 +163,18 @@ def resume_train_state(path: str, state):
 
 
 class BestCheckpointKeeper:
-    """Best-by-metric checkpoint bookkeeping (train_stage1.py:172-217)."""
+    """Best-by-metric checkpoint bookkeeping (train_stage1.py:172-217).
 
-    def __init__(self, output_dir: str):
+    Saves run asynchronously (delete-previous-best + write-new-best are
+    ordered on the writer thread) so the train loop doesn't stall for the
+    multi-second msgpack write; call :meth:`wait` before reading a written
+    checkpoint back (e.g. the final reload-best-and-validate pass).
+    """
+
+    def __init__(self, output_dir: str, async_writer: Optional[AsyncCheckpointWriter] = None):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
+        self.writer = async_writer if async_writer is not None else AsyncCheckpointWriter()
         self.best = {
             "val_acc": -1.0, "val_hit": -1.0, "epoch": -1, "path": "",
             "hit": -1.0, "hit_path": "",
@@ -116,15 +182,18 @@ class BestCheckpointKeeper:
 
     def update(self, epoch: int, miou: float, hit: float, state, extra=None) -> dict:
         if miou > self.best["val_acc"]:
-            if self.best["path"] and os.path.exists(self.best["path"]):
-                os.remove(self.best["path"])
+            if self.best["path"]:
+                self.writer.remove(self.best["path"])
             path = os.path.join(self.output_dir, f"ckpt_320_epoch_{epoch}_best.msgpack")
-            save_train_checkpoint(path, state, extra)
+            self.writer.save_train_checkpoint(path, state, extra)
             self.best.update(val_acc=miou, val_hit=hit, epoch=epoch, path=path)
         if hit > self.best["hit"]:
-            if self.best["hit_path"] and os.path.exists(self.best["hit_path"]):
-                os.remove(self.best["hit_path"])
+            if self.best["hit_path"]:
+                self.writer.remove(self.best["hit_path"])
             path = os.path.join(self.output_dir, f"ckpt_320_epoch_{epoch}_hit.msgpack")
-            save_train_checkpoint(path, state, extra)
+            self.writer.save_train_checkpoint(path, state, extra)
             self.best.update(hit=hit, hit_path=path)
         return dict(self.best)
+
+    def wait(self):
+        self.writer.wait()

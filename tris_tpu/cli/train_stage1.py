@@ -126,6 +126,7 @@ def main(args):
         logger.info(f"best: {best}")
 
     # final: reload best, validate on the train split (train_stage1.py:226-242)
+    keeper.wait()  # flush async saves before reading the best ckpt back
     if keeper.best["path"]:
         state = state.replace(params=load_params_only(keeper.best["path"], state.params))
     train_eval = build_loaders(args, train=False, eval_splits=["train"])["train"]

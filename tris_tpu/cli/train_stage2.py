@@ -49,10 +49,20 @@ def main(args):
 
     steps_per_epoch = len(loaders["train"])
     total_steps = steps_per_epoch * args.epoch
+    # scheduler branch as the reference (train_stage2.py:128-140): CLIP
+    # backbones use the per-step poly LambdaLR; anything else gets the
+    # epoch-level PolynomialLRDecay driven by --end_lr/--power/--max_decay_steps
+    schedule_factory = None
+    if "clip" not in args.backbone:
+        from tris_tpu.train.state import poly_epoch_schedule
+
+        schedule_factory = lambda lr: poly_epoch_schedule(  # noqa: E731
+            lr, args.end_lr, args.power, args.max_decay_steps, steps_per_epoch
+        )
     state = create_train_state(
         model, variables, total_steps=total_steps, base_lr=args.lr,
         lr_multi=args.lr_multi, weight_decay=args.weight_decay, stage="stage2",
-        with_ema=args.model_ema,
+        with_ema=args.model_ema, schedule_factory=schedule_factory,
     )
     start_epoch = args.start_epoch
     if resume_train_ckpt:
@@ -81,7 +91,10 @@ def main(args):
                     f"| loss {m['loss']:.4f} | l1 {m['l1']:.4f} | l5 {m['l5']:.4f}"
                 )
 
-        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        if getattr(args, "ema_eval", False) and state.ema_params is not None:
+            eval_vars = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+        else:
+            eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
         results = {}
         for split in eval_splits:
             results[split] = validate(model, eval_vars, loaders[split], log=logger.info)
@@ -92,6 +105,7 @@ def main(args):
         writer.scalars({"mIoU": primary["mIoU"], "hit": primary["hit"]}, epoch, prefix="test/")
         logger.info(f"best: {best}")
 
+    keeper.wait()  # flush async saves before reading the best ckpt back
     if keeper.best["path"]:
         state = state.replace(params=load_params_only(keeper.best["path"], state.params))
     train_eval = build_loaders(args, train=False, eval_splits=["train"])["train"]

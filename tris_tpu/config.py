@@ -49,6 +49,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--visualize", action="store_true", default=False)
     parser.add_argument("--model_ema", action="store_true", default=False)
     parser.add_argument("--consistency_type", default="mse", type=str)
+    # extension over the reference: validate/select checkpoints with the EMA
+    # teacher (params + its own BN buffers) instead of the student
+    parser.add_argument("--ema_eval", action="store_true", default=False)
     parser.add_argument("--scales", default=None, type=str)
     # output
     parser.add_argument("--output", default=None, type=str)

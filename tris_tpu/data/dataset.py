@@ -116,17 +116,16 @@ class ReferSegDataset:
         info = self.ref_info(index)
         image = self.load_image_array(index)
         n = len(self.input_ids[index])
-        L = self.max_tokens
-        ids = np.zeros((self.max_sents, L), np.int32)
-        masks = np.zeros((self.max_sents, L), np.int32)
-        ids[:n] = self.input_ids[index]
-        masks[:n] = self.word_masks[index]
         target = self.refer.getMask(info["ref"])["mask"]
         target = np.asarray(target > 0, np.uint8)
         return {
             "image": image,
-            "word_ids": ids,            # [S_max, L]
-            "word_masks": masks,
+            # unpadded [S_i, L]; _collate pads the batch to a power-of-two
+            # bucket of the batch max (not the dataset-wide max: refcocog
+            # refs reach ~30 sentences with a median of 2-4, and eval/PRMS
+            # run full forwards on every padded slot)
+            "word_ids": self.input_ids[index],
+            "word_masks": self.word_masks[index],
             "num_sents": n,
             "target": target,           # original size [H, W]
             "bbox": info["bbox"],
@@ -207,8 +206,18 @@ class Loader:
             brng = np.random.default_rng(self.seed * 1000003 + epoch * 131 + batch_idx)
             if self.ds.eval_mode:
                 examples = [self.ds.eval_example(int(i)) for i in idxs]
-            else:
-                examples = [self.ds.train_example(int(i), brng) for i in idxs]
+                n_real = len(examples)
+                # pad a short final batch to full size (drop_last=False) so
+                # jit doesn't compile an extra program for it; padded rows
+                # carry num_sents=0 and batch_valid=0 and are skipped on host
+                while len(examples) < self.batch_size:
+                    pad = dict(examples[-1])
+                    pad["num_sents"] = 0
+                    examples.append(pad)
+                batch = _collate(examples)
+                batch["batch_valid"] = (np.arange(self.batch_size) < n_real).astype(np.int32)
+                return batch
+            examples = [self.ds.train_example(int(i), brng) for i in idxs]
             return _collate(examples)
 
         if self.num_threads <= 1:
@@ -246,6 +255,10 @@ class Loader:
             stop.set()
 
 
+def _pow2_bucket(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 def _collate(examples: List[dict]) -> dict:
     out = {}
     for key in examples[0]:
@@ -254,6 +267,16 @@ def _collate(examples: List[dict]) -> dict:
             out[key] = vals
         elif key == "target":
             out[key] = vals  # variable original sizes: keep as list
+        elif key in ("word_ids", "word_masks") and np.asarray(vals[0]).ndim == 2:
+            # ragged eval sentences [S_i, L]: pad to a power-of-two bucket of
+            # the batch max so jit compiles once per bucket, not per count
+            # (mirrors validate_referit.py bucketing)
+            S = _pow2_bucket(max(v.shape[0] for v in vals))
+            L = vals[0].shape[1]
+            padded = np.zeros((len(vals), S, L), np.int32)
+            for i, v in enumerate(vals):
+                padded[i, : v.shape[0]] = v
+            out[key] = padded
         else:
             out[key] = np.stack([np.asarray(v) for v in vals], axis=0)
     return out

@@ -188,6 +188,8 @@ def validate_prms(
         B = cams.shape[0]
         for b in range(B):
             n = int(batch["num_sents"][b])
+            if n == 0:  # padded row of a short final batch
+                continue
             target = batch["target"][b]
             oh, ow = target.shape
             cam = resize_to_original_np(cams[b, int(best[b])], oh, ow)

@@ -36,6 +36,7 @@ def _lib() -> ctypes.CDLL:
     lib.tris_connected_components.argtypes = [u8p, i, i, i32p]
     lib.tris_connected_components.restype = i
     lib.tris_dense_crf.argtypes = [u8p, f32p, i, i, i, i, f, f, f, f, f, f32p]
+    lib.tris_dense_crf_multi.argtypes = [u8p, f32p, i, i, i, i, i, f, f, f, f, f, f32p]
     return lib
 
 
@@ -93,3 +94,20 @@ class crf:
         _lib().tris_dense_crf(image, unary, h, w, L, n_iters,
                               gxy, gcompat, bxy, brgb, bcompat, out)
         return out.reshape(L, h, w)
+
+    @staticmethod
+    def dense_crf_inference_multi(image: np.ndarray, unary: np.ndarray, n_iters: int,
+                                  gxy: float, gcompat: float, bxy: float, brgb: float,
+                                  bcompat: float) -> np.ndarray:
+        """K fused mean-field problems over one image; unary: [K, L, h, w].
+
+        Shares the permutohedral lattice construction (the dominant cost) and
+        filters all K*L channels in one splat/blur/slice per kernel per
+        iteration."""
+        image = np.ascontiguousarray(image, np.uint8)
+        K, L, h, w = unary.shape
+        unary = np.ascontiguousarray(unary.reshape(K, L, h * w), np.float32)
+        out = np.zeros((K, L, h * w), np.float32)
+        _lib().tris_dense_crf_multi(image, unary, K, h, w, L, n_iters,
+                                    gxy, gcompat, bxy, brgb, bcompat, out)
+        return out.reshape(K, L, h, w)

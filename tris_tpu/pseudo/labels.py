@@ -29,7 +29,7 @@ import numpy as np
 from scipy import ndimage
 
 from tris_tpu.ops.resize import bilinear_resize
-from tris_tpu.pseudo.crf import crf_inference_label
+from tris_tpu.pseudo.crf import crf_inference_label_multi
 from tris_tpu.pseudo.indexing import propagate_to_edge_bucketed
 
 
@@ -49,13 +49,13 @@ def cam_to_ir_label(
     """
     cams = np.maximum(cam, 0.0)[None]  # [1, H, W]
 
-    def conf_label(thres: float) -> np.ndarray:
+    def seed_label(thres: float) -> np.ndarray:
         padded = np.concatenate([np.full_like(cams[:1], thres), cams], axis=0)
-        seed = np.argmax(padded, axis=0).astype(np.int32)
-        return crf_inference_label(image, seed, n_labels=2)
+        return np.argmax(padded, axis=0).astype(np.int32)
 
-    fg_conf = conf_label(conf_fg_thres)
-    bg_conf = conf_label(conf_bg_thres)
+    # both CRF refinements run over the same image -> fused (shared lattice)
+    seeds = np.stack([seed_label(conf_fg_thres), seed_label(conf_bg_thres)])
+    fg_conf, bg_conf = crf_inference_label_multi(image, seeds, n_labels=2)
 
     conf = fg_conf.copy().astype(np.uint8)
     conf[fg_conf == 0] = 255

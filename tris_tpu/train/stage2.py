@@ -27,7 +27,8 @@ class Stage2TrainConfig:
     ema_update_after: int = 100
 
 
-def stage2_loss(params, batch_stats, ema_params, model, batch, cfg: Stage2TrainConfig):
+def stage2_loss(params, batch_stats, ema_params, ema_batch_stats, model, batch,
+                cfg: Stage2TrainConfig):
     image = batch["image"]
     word_ids = batch["word_ids"]
     pseudo = batch["pseudo"]  # [B, H, W, 1] float/int
@@ -43,9 +44,16 @@ def stage2_loss(params, batch_stats, ema_params, model, batch, cfg: Stage2TrainC
     l4 = losses.bce_with_logits(o4, pseudo)
 
     if cfg.use_ema and ema_params is not None:
-        # teacher forward in train-head mode (4 side outputs), no gradient
+        # Teacher forward in train-head mode (4 side outputs), no gradient —
+        # the reference's EMA copy stays in train mode (nn.Module default at
+        # EMA(model) time, train_stage2.py:258-260), so its BN normalizes by
+        # the *batch* stats; the teacher's own running buffers (ema_pytorch
+        # EMAs buffers) are carried for --ema_eval.
         ema_outs = model.apply(
-            {"params": jax.lax.stop_gradient(ema_params), "batch_stats": batch_stats},
+            {
+                "params": jax.lax.stop_gradient(ema_params),
+                "batch_stats": jax.lax.stop_gradient(ema_batch_stats),
+            },
             image, word_ids, train=True, mutable=["batch_stats"],
         )[0]
         cons = losses.sigmoid_mse_consistency if cfg.consistency == "mse" else losses.sigmoid_kl_consistency
@@ -62,27 +70,37 @@ def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate:
     def train_step(state: TrainState, batch: dict):
         grad_fn = jax.value_and_grad(stage2_loss, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, state.ema_params, model, batch, cfg
+            state.params, state.batch_stats, state.ema_params, state.ema_batch_stats,
+            model, batch, cfg,
         )
         state = state.apply_gradients(grads, new_stats)
         if cfg.use_ema and state.ema_params is not None:
-            # ema_pytorch semantics (the reference's EMA(model) defaults):
-            # update every `update_every` steps after `update_after`, with the
-            # decay ramping in as 1 - (1 + k)^(-2/3) capped at `ema_decay`.
-            k = jnp.maximum(
-                (state.step - cfg.ema_update_after) // cfg.ema_update_every, 0
-            ).astype(jnp.float32)
-            decay = jnp.minimum(cfg.ema_decay, 1.0 - jnp.power(1.0 + k, -2.0 / 3.0))
-            decay = jnp.clip(decay, 0.0, cfg.ema_decay)
-            do_update = jnp.logical_and(
-                state.step > cfg.ema_update_after,
-                (state.step % cfg.ema_update_every) == 0,
+            # ema_pytorch semantics (the reference's EMA(model) defaults,
+            # train_stage2.py:258-260,328-332): update() runs once per batch
+            # with a 0-based counter; on counter % update_every == 0 the
+            # teacher is COPIED from the student while counter <= update_after
+            # and EMA'd afterwards with decay 1-(1+epoch)^(-2/3) capped at
+            # beta, epoch = counter - update_after - 1. Float buffers (BN
+            # stats) follow the same rule.
+            counter = state.step - 1  # apply_gradients already incremented
+            epoch = jnp.maximum(counter - cfg.ema_update_after - 1, 0).astype(jnp.float32)
+            decay = jnp.where(
+                epoch <= 0.0,
+                0.0,  # copy phase: teacher := student
+                jnp.minimum(cfg.ema_decay, 1.0 - jnp.power(1.0 + epoch, -2.0 / 3.0)),
             )
-            new_ema = ema_update(state.ema_params, state.params, decay)
-            ema = jax.tree_util.tree_map(
-                lambda e, n: jnp.where(do_update, n, e), state.ema_params, new_ema
+            do_update = (counter % cfg.ema_update_every) == 0
+
+            def track(ema_tree, online_tree):
+                new = ema_update(ema_tree, online_tree, decay)
+                return jax.tree_util.tree_map(
+                    lambda e, n: jnp.where(do_update, n, e), ema_tree, new
+                )
+
+            state = state.replace(
+                ema_params=track(state.ema_params, state.params),
+                ema_batch_stats=track(state.ema_batch_stats, state.batch_stats),
             )
-            state = state.replace(ema_params=ema)
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -31,6 +31,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     ema_params: Any = None  # optional EMA teacher (stage 2)
+    ema_batch_stats: Any = None  # teacher's own BN buffers (ema_pytorch EMAs buffers too)
 
     def apply_gradients(self, grads, new_batch_stats):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -49,6 +50,28 @@ def poly_schedule(base_lr: float, total_steps: int, power: float = 0.9) -> optax
     def schedule(step):
         frac = jnp.clip(step / total_steps, 0.0, 1.0)
         return base_lr * jnp.power(1.0 - frac, power)
+
+    return schedule
+
+
+def poly_epoch_schedule(
+    base_lr: float, end_lr: float, power: float, max_decay_steps: int, steps_per_epoch: int
+) -> optax.Schedule:
+    """The reference's ``PolynomialLRDecay`` (utils/poly_lr_decay.py:3-39):
+    epoch-level decay ``(base-end)*(1-epoch/max)^power + end``, frozen at
+    ``end_lr`` after ``max_decay_steps`` epochs. Used by the reference's
+    stage-2 non-CLIP (swin) branch (train_stage2.py:137-140) with the
+    ``--end_lr/--power/--max_decay_steps`` flags; scheduler.step() runs once
+    per epoch (train_stage2.py:192), i.e. epoch = step // steps_per_epoch,
+    starting from epoch 1 after the first step()."""
+
+    def schedule(step):
+        # torch steps the scheduler *after* each epoch, so epoch k trains at
+        # last_step=k (first epoch at the base lr is epoch 0 -> last_step 0
+        # only before any step(); get_lr at construction returns base_lr).
+        epoch = jnp.minimum(step // steps_per_epoch, max_decay_steps)
+        frac = 1.0 - epoch / max_decay_steps
+        return (base_lr - end_lr) * jnp.power(frac, power) + end_lr
 
     return schedule
 
@@ -79,11 +102,18 @@ def make_optimizer(
     total_steps: int = 1,
     power: float = 0.9,
     stage: str = "stage1",
+    schedule_factory: Optional[Callable[[float], optax.Schedule]] = None,
 ) -> optax.GradientTransformation:
+    """``schedule_factory(group_base_lr) -> Schedule`` overrides the default
+    per-step poly decay (used for the reference's PolynomialLRDecay branch)."""
+
     def adamw(lr_scale: float):
+        if schedule_factory is not None:
+            lr = schedule_factory(base_lr * lr_scale)
+        else:
+            lr = poly_schedule(base_lr * lr_scale, total_steps, power)
         return optax.adamw(
-            learning_rate=poly_schedule(base_lr * lr_scale, total_steps, power),
-            b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay,
+            learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay,
         )
 
     return optax.multi_transform(
@@ -105,19 +135,23 @@ def create_train_state(
     weight_decay: float = 0.01,
     stage: str = "stage1",
     with_ema: bool = False,
+    schedule_factory: Optional[Callable[[float], optax.Schedule]] = None,
 ) -> TrainState:
     params = variables["params"]
     tx = make_optimizer(
         params, base_lr=base_lr, lr_multi=lr_multi, weight_decay=weight_decay,
-        total_steps=total_steps, stage=stage,
+        total_steps=total_steps, stage=stage, schedule_factory=schedule_factory,
     )
+    stats = variables.get("batch_stats", {})
+    copy = lambda t: jax.tree_util.tree_map(lambda x: x, t)  # noqa: E731
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=stats,
         opt_state=tx.init(params),
         tx=tx,
-        ema_params=jax.tree_util.tree_map(lambda x: x, params) if with_ema else None,
+        ema_params=copy(params) if with_ema else None,
+        ema_batch_stats=copy(stats) if with_ema else None,
     )
 
 
