@@ -14,7 +14,11 @@ Env knobs:
   TRIS_BENCH_DTYPE   (default bf16; 'f32' for full precision)
   TRIS_BENCH_ITERS   (default 20)
   TRIS_BENCH_MODE    (default 'infer'; 'train' benches the full stage-1
-                      training step incl. frozen-critic losses + AdamW)
+                      training step incl. frozen-critic losses + AdamW;
+                      'prms' benches the fused PRMS program — S model
+                      forwards + SxS critic scoring per ref, the reference's
+                      offline hot loop validate.py:311-328)
+  TRIS_BENCH_SENTS   (prms mode: sentences per ref bucket, default 4)
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ def main() -> None:
     mode = os.environ.get("TRIS_BENCH_MODE", "infer")
     if mode == "train":
         return bench_train()
+    if mode == "prms":
+        return bench_prms()
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
@@ -147,6 +153,57 @@ def bench_train() -> None:
         "metric": "stage1_rn50_320px_train_step_throughput_per_chip",
         "value": round(batch * iters / dt / jax.device_count(), 2),
         "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+def bench_prms() -> None:
+    """PRMS throughput: per ref, S model forwards (320px RN50) + S^2 critic
+    scores, fused into one jit program (eval/validate.py::make_prms_forward).
+    The reference runs this ref-by-ref at batch 1 with S^2 separate CLIP
+    forwards (validate.py:311-328)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tris_tpu.eval.validate import make_prms_forward
+    from tris_tpu.models.clip import CLIP, CLIP_CONFIGS
+    from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 16))   # refs per program
+    sents = int(os.environ.get("TRIS_BENCH_SENTS", 4))    # bucketed S
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 10))
+
+    model = TRISStage1(Stage1Config(), dtype=jnp.bfloat16)
+    critic = CLIP(dataclasses.replace(CLIP_CONFIGS["ViT-B-32"], txt_length=20),
+                  dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    image = jax.random.normal(key, (batch, size, size, 3), jnp.float32)
+    ids = np.zeros((batch, sents, 20), np.int32)
+    ids[..., 0], ids[..., 1], ids[..., 2] = 49406, 786, 49407
+    ids = jnp.asarray(ids)
+    valid = jnp.ones((batch, sents), bool)
+    variables = jax.jit(lambda k: model.init(k, image, ids[:, 0], train=False))(key)
+    critic_vars = jax.jit(lambda k: critic.init(k, jnp.zeros((1, 224, 224, 3)), ids[:1, 0]))(key)
+
+    forward = make_prms_forward(model, critic)
+    best, cams, scores = forward(variables, critic_vars, image, ids, valid)
+    float(scores.sum())  # compile + sync
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        best, cams, scores = forward(variables, critic_vars, image, ids, valid)
+        acc = acc + scores.sum()
+    float(acc)
+    dt = time.perf_counter() - t0
+    refs_per_s = batch * iters / dt
+    print(json.dumps({
+        "metric": f"prms_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
+        "value": round(refs_per_s / jax.device_count(), 2),
+        "unit": "refs/sec/chip",
         "vs_baseline": None,
     }))
 

@@ -21,10 +21,54 @@ from tris_tpu.models.layers import (
     LayerNormFp32,
     PReLU,
     ResidualAttentionBlock,
+    TorchBatchNorm,
     causal_mask,
     multi_head_attention,
     quick_gelu,
 )
+
+
+def test_batchnorm_matches_torch_train_and_eval(rng):
+    """TorchBatchNorm vs torch.nn.BatchNorm2d: eval folded affine, train
+    batch-stat normalization, AND the running-stat update (torch stores the
+    UNBIASED batch variance — the fidelity gap flax.BatchNorm has)."""
+    C = 6
+    x = rng.standard_normal((4, 5, 7, C)).astype(np.float32)
+    tb = torch.nn.BatchNorm2d(C, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tb.weight.copy_(torch.from_numpy(rng.standard_normal(C).astype(np.float32)))
+        tb.bias.copy_(torch.from_numpy(rng.standard_normal(C).astype(np.float32)))
+        tb.running_mean.copy_(torch.from_numpy(rng.standard_normal(C).astype(np.float32) * 0.2))
+        tb.running_var.copy_(torch.from_numpy(rng.random(C).astype(np.float32) + 0.5))
+
+    bn = TorchBatchNorm()
+    variables = {
+        "params": {"scale": tb.weight.detach().numpy(), "bias": tb.bias.detach().numpy()},
+        "batch_stats": {"mean": tb.running_mean.numpy().copy(), "var": tb.running_var.numpy().copy()},
+    }
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # eval
+    tb.eval()
+    with torch.no_grad():
+        ref = tb(tx).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(bn.apply(variables, jnp.asarray(x), use_running_average=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # train: output uses biased batch stats; running update uses unbiased var
+    tb.train()
+    with torch.no_grad():
+        ref_train = tb(tx).numpy().transpose(0, 2, 3, 1)
+    got_train, mut = bn.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(got_train), ref_train, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]), tb.running_mean.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]), tb.running_var.numpy(), rtol=1e-5, atol=1e-6
+    )
 
 
 def to_flax(state_dict, extra_path=()):

@@ -31,6 +31,7 @@ from tris_tpu.models.layers import (
     AttentionPool2d,
     LayerNormFp32,
     ResidualAttentionBlock,
+    TorchBatchNorm,
     avg_pool_nhwc,
     causal_mask,
 )
@@ -89,9 +90,11 @@ def _conv(features: int, kernel: int, stride: int = 1, name: str = None, dtype=j
     )
 
 
-def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
-    # torch defaults: eps 1e-5, momentum 0.1 (flax momentum = 1 - torch momentum)
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
+def _bn(train: bool, name: str, dtype=jnp.float32):
+    # torch defaults: eps 1e-5, momentum 0.1; eval path is a folded bf16
+    # affine instead of flax's f32 round-trip (see TorchBatchNorm)
+    bn = TorchBatchNorm(dtype=dtype, name=name)
+    return lambda x: bn(x, use_running_average=not train)
 
 
 class Bottleneck(nn.Module):

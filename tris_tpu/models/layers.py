@@ -178,6 +178,57 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with torch-exact semantics and a folded eval path.
+
+    Differences from ``flax.linen.BatchNorm`` that matter here:
+    - eval: ``(mean, var, scale, bias)`` fold into ONE per-channel affine
+      ``x * a + b`` computed in the input dtype — flax instead converts the
+      whole activation to f32 and back per BN, which at bf16 lengthens every
+      conv epilogue fusion (measured in the stage-1 forward HLO).
+    - train: the running-var update uses the UNBIASED batch variance, as
+      torch does (torch.nn.BatchNorm2d docs); flax stores the biased one.
+      Normalization itself uses the biased variance on both sides.
+    - torch defaults: eps 1e-5, momentum 0.1 (new = 0.9*old + 0.1*batch).
+
+    Variable naming matches flax BatchNorm (params scale/bias, batch_stats
+    mean/var) so converted checkpoints are interchangeable. Batch statistics
+    are computed in f32 over the global (sharded) batch: under a data-sharded
+    jit the reductions are cross-replica, i.e. SyncBatchNorm
+    (train_stage1.py:69).
+    """
+
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+
+        if use_running_average:
+            inv = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)   # [C] f32, folds at compile
+            a = inv.astype(x.dtype)
+            b = (bias - ra_mean.value * inv).astype(x.dtype)
+            return x * a + b
+
+        xf = x.astype(jnp.float32)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        mean = xf.mean(axis=(0, 1, 2))
+        var = xf.var(axis=(0, 1, 2))                                    # biased, used to normalize
+        if not self.is_initializing():
+            var_unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * var_unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
+
 def avg_pool_nhwc(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """``nn.AvgPool2d(window)`` on NHWC (kernel = stride = window, no padding)."""
     return nn.avg_pool(x, (window, window), strides=(window, window))

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from tris_tpu.models.clip import CLIP, CLIP_CONFIGS, CLIPConfig
 from tris_tpu.models.fusion import PixelAttention
-from tris_tpu.models.layers import PReLU
+from tris_tpu.models.layers import PReLU, TorchBatchNorm
 from tris_tpu.ops.resize import bilinear_resize
 
 
@@ -47,9 +47,7 @@ class ConvBNRelu(nn.Module):
             self.features, (self.kernel, self.kernel), padding=((pad, pad), (pad, pad)),
             use_bias=False, dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn"
-        )(x)
+        x = TorchBatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
         if self.use_act:
             x = PReLU(dtype=self.dtype, name="act")(x)
         return x
