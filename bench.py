@@ -17,7 +17,10 @@ Env knobs:
                       training step incl. frozen-critic losses + AdamW;
                       'prms' benches the fused PRMS program — S model
                       forwards + SxS critic scoring per ref, the reference's
-                      offline hot loop validate.py:311-328)
+                      offline hot loop validate.py:311-328;
+                      'eval' benches the multi-sentence eval forward
+                      (response_maps: trunk shared across sentences) — the
+                      reference's per-epoch validation loop validate.py:173-179)
   TRIS_BENCH_SENTS   (prms mode: sentences per ref bucket, default 4)
 """
 
@@ -40,6 +43,8 @@ def main() -> None:
         return bench_train()
     if mode == "prms":
         return bench_prms()
+    if mode == "eval":
+        return bench_eval()
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
@@ -153,6 +158,52 @@ def bench_train() -> None:
         "metric": "stage1_rn50_320px_train_step_throughput_per_chip",
         "value": round(batch * iters / dt / jax.device_count(), 2),
         "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+def bench_eval() -> None:
+    """Multi-sentence eval forward throughput (refs/s): one shared image-trunk
+    pass + S per-sentence text/fusion/head passes per ref
+    (eval/validate.py::make_eval_forward). The reference runs S separate
+    batch-1 full forwards per ref (validate.py:173-179)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tris_tpu.eval.validate import make_eval_forward
+    from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 16))   # refs per program
+    sents = int(os.environ.get("TRIS_BENCH_SENTS", 4))    # bucketed S
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 15))
+
+    model = TRISStage1(Stage1Config(), dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    image = jax.random.normal(key, (batch, size, size, 3), jnp.float32)
+    ids = np.zeros((batch, sents, 20), np.int32)
+    ids[..., 0], ids[..., 1], ids[..., 2] = 49406, 786, 49407
+    ids = jnp.asarray(ids)
+    variables = jax.jit(lambda k: model.init(k, image, ids[:, 0], train=False))(key)
+    forward = make_eval_forward(model)
+
+    @jax.jit
+    def chk(acc, out):
+        return acc + out.mean()
+
+    acc = chk(jnp.zeros(()), forward(variables, image, ids))
+    float(acc)  # compile + sync
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        acc = chk(acc, forward(variables, image, ids))
+    float(acc)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"eval_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
+        "value": round(batch * iters / dt / jax.device_count(), 2),
+        "unit": "refs/sec/chip",
         "vs_baseline": None,
     }))
 

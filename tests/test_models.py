@@ -124,3 +124,63 @@ def test_text_eot_selection():
     ids3 = ids1.at[:, 2].set(300)
     _, eot3 = model.apply(variables, ids3, method="encode_text")
     assert np.abs(np.asarray(eot1) - np.asarray(eot3)).max() > 1e-6
+
+
+def _rand_ids(rng, b, s=None):
+    shape = (b, 20) if s is None else (b, s, 20)
+    ids = rng.integers(1, 49406, size=shape).astype(np.int32)
+    ids[..., 0] = 49406
+    ids[..., -1] = 49407
+    return jnp.asarray(ids)
+
+
+def test_response_maps_match_batch1_forward(stage1_model):
+    """response_maps (shared trunk, per-pair fusion) must equal the reference
+    eval protocol: one batch-1 __call__ per (image, sentence) pair
+    (validate.py:173-179). Covers the attn_multi>0 fusion branch."""
+    model, variables = stage1_model
+    rng = np.random.default_rng(1)
+    B, S = 2, 3
+    img = jnp.asarray(rng.standard_normal((B, 64, 64, 3)), jnp.float32)
+    ids = _rand_ids(rng, B, S)
+    got = model.apply(variables, img, ids, method="response_maps")
+    assert got.shape == (B, S, 64, 64)
+    for b in range(B):
+        for s in range(S):
+            want = model.apply(variables, img[b : b + 1], ids[b, s][None], train=False)
+            np.testing.assert_allclose(
+                np.asarray(got[b, s]), np.asarray(want[0, :, :, 0]), atol=2e-5, rtol=1e-5
+            )
+
+
+def test_response_maps_match_batch1_no_fusion():
+    cfg = Stage1Config(hidden_dim=32, attn_multi=0.0, clip_override=TINY_RESNET_CLIP)
+    model = TRISStage1(cfg)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    ids = _rand_ids(rng, 2, 2)
+    variables = model.init(jax.random.PRNGKey(0), img, ids[:, 0], train=False)
+    got = model.apply(variables, img, ids, method="response_maps")
+    for b in range(2):
+        for s in range(2):
+            want = model.apply(variables, img[b : b + 1], ids[b, s][None], train=False)
+            np.testing.assert_allclose(
+                np.asarray(got[b, s]), np.asarray(want[0, :, :, 0]), atol=2e-5, rtol=1e-5
+            )
+
+
+def test_stage2_response_maps_match_flattened():
+    cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
+    model = TRISStage2(cfg)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    ids = _rand_ids(rng, 2, 3)
+    variables = model.init(jax.random.PRNGKey(0), img, ids[:, 0], train=False)
+    got = model.apply(variables, img, ids, method="response_maps")
+    assert got.shape == (2, 3, 64, 64)
+    for b in range(2):
+        for s in range(3):
+            want = model.apply(variables, img[b : b + 1], ids[b, s][None], train=False)
+            np.testing.assert_allclose(
+                np.asarray(got[b, s]), np.asarray(want[0, :, :, 0]), atol=2e-5, rtol=1e-5
+            )

@@ -197,3 +197,17 @@ def test_irn_train_step(irnet_setup):
     )
     assert trunk_moved == 0.0
     assert edge_moved > 0.0
+
+
+def test_multi_scale_flip_stacks():
+    from tris_tpu.pseudo.aug import multi_scale_flip_stacks, pil_rescale
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+    stacks = multi_scale_flip_stacks(img, scales=(1.0, 0.5))
+    assert len(stacks) == 2
+    assert stacks[0].shape == (2, 40, 60, 3)
+    np.testing.assert_array_equal(stacks[0][0], img.astype(np.float32))
+    np.testing.assert_array_equal(stacks[0][1], img[:, ::-1].astype(np.float32))
+    assert stacks[1].shape == (2, 20, 30, 3)
+    np.testing.assert_array_equal(stacks[1][0], pil_rescale(img, 0.5, 3).astype(np.float32))

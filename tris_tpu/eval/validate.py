@@ -53,15 +53,15 @@ def make_eval_forward(model):
     """Jitted multi-sentence eval forward.
 
     (variables, image [B,H,W,3], word_ids [B,S,L]) -> relu CAMs [B, S, H, W]
+
+    Uses ``TRISStage1.response_maps``: the vision trunk runs once per image
+    (shared across its S sentences), and each pair's fusion sees only its own
+    text — the reference's batch-1 eval semantics (validate.py:173-179).
     """
 
     @jax.jit
     def forward(variables, image, word_ids):
-        B, S, L = word_ids.shape
-        H, W = image.shape[1], image.shape[2]
-        img_rep = jnp.repeat(image, S, axis=0)  # [B*S, H, W, 3]
-        out = model.apply(variables, img_rep, word_ids.reshape(B * S, L), train=False)
-        return out.reshape(B, S, H, W)
+        return model.apply(variables, image, word_ids, method="response_maps")
 
     return forward
 
@@ -83,10 +83,9 @@ def make_prms_forward(model, critic):
 
         B, S, L = word_ids.shape
         H, W = image.shape[1], image.shape[2]
-        img_rep = jnp.repeat(image, S, axis=0)
         flat_ids = word_ids.reshape(B * S, L)
-        cams = model.apply(variables, img_rep, flat_ids, train=False)  # [B*S, H, W, 1] relu
-        cams_bshw = cams.reshape(B, S, H, W)
+        # trunk shared across the S sentences; per-pair fusion semantics
+        cams_bshw = model.apply(variables, image, word_ids, method="response_maps")
 
         # 224px modulated foreground images (align_corners=True, validate.py:304,318-324)
         def to224(x_nchw):

@@ -129,3 +129,51 @@ class TRISStage1(nn.Module):
         cls_fg = (fg_masks.mean(axis=-1) * labels).sum(axis=-1)   # [B]
 
         return cls_out, cls_fg, nn.relu(seg), jax.nn.sigmoid(seg), scale
+
+    def response_maps(self, image: jnp.ndarray, word_ids: jnp.ndarray) -> jnp.ndarray:
+        """Per-(image, sentence)-pair eval maps: [B, H, W, 3] x [B, S, L] -> [B, S, H, W].
+
+        Matches the reference eval protocol exactly: `validate.py:173-179` runs
+        the model at batch 1 per sentence, so the bilateral fusion and the
+        score only ever see that pair's OWN text. Flattening (image, sentence)
+        pairs into one batch through ``__call__`` would instead let the fusion
+        attend over every text in the batch (model_stage1.py:66 repeats `lan`
+        across the batch) — different maps whenever ``attn_multi > 0``.
+
+        Also the perf-shaped path: the vision trunk (~85% of a forward) runs
+        ONCE per image and is reused across its S sentences, instead of the
+        S-fold recompute a flattened batch pays.
+        """
+        cfg = self.config
+        B, S, L = word_ids.shape
+        H, W = image.shape[1], image.shape[2]
+
+        _, hidden = self.backbone.encode_text(word_ids.reshape(B * S, L))
+        _, _, _, c4, _ = self.backbone.encode_image(image, train=False)
+        h_, w_ = c4.shape[1], c4.shape[2]
+
+        lan = self.lan_project(hidden)                            # [B*S, D]
+        vis = self.vis_project(c4)                                # [B, h, w, D]
+        vis_t = vis.reshape(B, h_ * w_, cfg.hidden_dim)
+        norm_vis = vis_t / jnp.linalg.norm(vis_t, axis=-1, keepdims=True)
+        norm_lan = lan / jnp.linalg.norm(lan, axis=-1, keepdims=True)  # [B*S, D]
+
+        scale = jnp.exp(self.logit_scale)
+        if cfg.attn_multi > 0:
+            # fusion per pair with T=1 text, exactly as at reference batch 1
+            vis_rep = jnp.repeat(
+                norm_vis.reshape(B, h_, w_, cfg.hidden_dim), S, axis=0
+            )                                                     # [B*S, h, w, D]
+            new_vis, new_lan = self.attn_fusion(vis_rep, norm_lan[:, None])
+            norm_vis_p = new_vis.reshape(B * S, h_ * w_, cfg.hidden_dim) * 0.1 + vis_rep.reshape(
+                B * S, h_ * w_, cfg.hidden_dim
+            )
+            norm_lan_p = new_lan[:, 0] * 0.1 + norm_lan
+            score = scale * jnp.einsum("bpc,bc->bp", norm_vis_p, norm_lan_p)  # [B*S, hw]
+            score = score.reshape(B, S, h_ * w_)
+        else:
+            score = scale * jnp.einsum("bpc,bsc->bsp", norm_vis, norm_lan.reshape(B, S, -1))
+
+        seg = score.reshape(B * S, 1, h_, w_)
+        seg = bilinear_resize(seg, (H, W), align_corners=False)
+        return nn.relu(seg.reshape(B, S, H, W))

@@ -107,7 +107,27 @@ class TRISStage2(nn.Module):
         B, H, W, _ = image.shape
         word_embedding, _ = self.backbone.encode_text(word_ids)   # [B, T, 512]
         c1, c2, c3, c4, _ = self.backbone.encode_image(image, train=train)
+        return self._decode(c1, c2, c3, c4, word_embedding, (H, W), train)
 
+    def response_maps(self, image: jnp.ndarray, word_ids: jnp.ndarray) -> jnp.ndarray:
+        """Multi-sentence eval maps: [B, H, W, 3] x [B, S, L] -> [B, S, H, W].
+
+        The CLIP trunk runs ONCE per image and its pyramid is shared across
+        the image's S sentences. Every op after the trunk (PixelAttention,
+        decoder, BN with running stats) is per-sample, so this equals the
+        reference's per-sentence batch-1 eval forwards (validate.py:173-179)
+        exactly while skipping the S-fold trunk recompute.
+        """
+        B, S, L = word_ids.shape
+        H, W = image.shape[1], image.shape[2]
+        word_embedding, _ = self.backbone.encode_text(word_ids.reshape(B * S, L))
+        c1, c2, c3, c4, _ = self.backbone.encode_image(image, train=False)
+        c1, c2, c3, c4 = (jnp.repeat(c, S, axis=0) for c in (c1, c2, c3, c4))
+        out = self._decode(c1, c2, c3, c4, word_embedding, (H, W), train=False)
+        return out.reshape(B, S, H, W)
+
+    def _decode(self, c1, c2, c3, c4, word_embedding, hw, train: bool):
+        H, W = hw
         f2 = self.attention2(c2, word_embedding) + c2
         f3 = self.attention3(c3, word_embedding) + c3
         f4 = self.attention4(c4, word_embedding) + c4

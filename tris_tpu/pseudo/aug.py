@@ -89,3 +89,23 @@ def affinity_labels_from_indices(
     fg_pos = (pos & (lab_from > 0)).astype(np.float32)
     neg = (~equal & valid).astype(np.float32)
     return bg_pos, fg_pos, neg
+
+
+def multi_scale_flip_stacks(img: np.ndarray, scales=(1.0,)) -> list:
+    """Per-scale horizontal-flip stacks of a normalized HWC image
+    (``ReferClassificationDatasetMSF.__getitem__``, voc12/dataloader.py:304-348).
+
+    Returns ``[ [2, H_s, W_s, C] float32 per scale ]``: index 0 of each stack
+    is the image at that scale (bicubic rescale for s != 1), index 1 its
+    left-right flip. The reference's live ins-seg pass instantiates this at
+    ``scales=(1.0,)`` and consumes only the first scale's stack
+    (make_ins_seg_labels.py:126,177-179) — flip averaging happens inside
+    ``EdgeDisplacement`` — so non-unit scales are a hook for multi-scale
+    inference, not part of the released pipeline.
+    """
+    out = []
+    for s in scales:
+        s_img = img if s == 1 else pil_rescale(img, s, 3)
+        s_img = s_img.astype(np.float32)
+        out.append(np.stack([s_img, s_img[:, ::-1]], axis=0))
+    return out

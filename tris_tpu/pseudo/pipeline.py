@@ -43,6 +43,10 @@ class PseudoConfig:
     ins_seg_bg_thres: float = 0.25
     num_workers: int = 8
     referit: bool = False
+    # multi-scale hook of ReferClassificationDatasetMSF (voc12/dataloader.py:
+    # 304-348); the reference's live pass runs at (1.0,) and consumes only the
+    # first scale (make_ins_seg_labels.py:126,177-179) — same here.
+    scales: tuple = (1.0,)
 
 
 def load_names(cfg: PseudoConfig) -> List[str]:
@@ -198,10 +202,15 @@ def run_make_ins_seg(cfg: PseudoConfig, variables=None, names: Optional[List[str
     model = IRNet()
     os.makedirs(cfg.ins_seg_dir, exist_ok=True)
 
+    from tris_tpu.pseudo.aug import multi_scale_flip_stacks
+
     for i, name in enumerate(names):
         raw = load_raw_image(cfg, name)
         oh, ow = raw.shape[:2]
-        img = normalize_image(raw)
+        # MSF stacks at cfg.scales; like the reference (pack['img'][0]), only
+        # the first scale feeds inference — flip averaging is inside the model.
+        stacks = multi_scale_flip_stacks(normalize_image(raw), cfg.scales)
+        img = stacks[0][0]
         edge, disp = edge_displacement_infer(model, variables, jnp.asarray(img))
         cam = np.asarray(np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True),
                          np.float32)
