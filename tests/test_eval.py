@@ -125,3 +125,147 @@ def test_validate_prms_end_to_end(eval_setup, tmp_path):
         cam = np.load(os.path.join(cam_dir, f"{n}.npy"))
         assert cam.shape == (48, 64)  # original image size
         assert cam.max() <= 1.0 + 1e-5
+
+
+def test_device_resize_norm_matches_host():
+    import jax.numpy as jnp
+
+    from tris_tpu.eval.validate import (
+        _device_resize_norm, _padded_resize_matrix, normalize_threshold,
+    )
+
+    rng = np.random.default_rng(0)
+    h = w = 20
+    sizes = [(37, 53), (48, 64)]
+    maxh, maxw = 48, 64
+    # include negative values: stage-2 logits may be negative, and the
+    # device max must still match the host max over the valid region
+    cams = rng.standard_normal((2, 3, h, w)).astype(np.float32)
+    Ah = jnp.asarray(np.stack([_padded_resize_matrix(h, s[0], maxh) for s in sizes]))
+    Aw = jnp.asarray(np.stack([_padded_resize_matrix(w, s[1], maxw) for s in sizes]))
+    got = np.asarray(_device_resize_norm(jnp.asarray(cams), Ah, Aw))
+    for b, (oh, ow) in enumerate(sizes):
+        for j in range(3):
+            want, _ = normalize_threshold(resize_to_original_np(cams[b, j], oh, ow))
+            np.testing.assert_allclose(got[b, j, :oh, :ow], want, atol=1e-5, rtol=1e-5)
+            # padded region must be exactly zero pre-normalization
+            assert np.all(got[b, j, oh:, :] * 0 == 0)
+
+
+def test_validate_device_resize_matches_host_path(eval_setup):
+    # with_boxes=True keeps metrics on host, exercising the device-resize
+    # (but not scalars-only) path: cams come back normalized at padded size
+    model, variables, loader = eval_setup
+    res_host = validate(model, variables, loader, with_boxes=True, device_resize=False)
+    res_dev = validate(model, variables, loader, with_boxes=True, device_resize=True)
+    for k in res_host:
+        np.testing.assert_allclose(res_dev[k], res_host[k], atol=1e-4)
+
+
+def test_validate_prms_device_resize_matches_host_path(eval_setup, tmp_path):
+    from tris_tpu.models.clip import CLIP as _CLIP
+
+    model, variables, loader = eval_setup
+    critic = _CLIP(TINY_VIT_CLIP)
+    import jax.numpy as jnp
+
+    critic_vars = critic.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jnp.ones((1, 20), jnp.int32)
+    )
+    host_dir, dev_dir = str(tmp_path / "h"), str(tmp_path / "d")
+    res_host = validate_prms(model, critic, variables, critic_vars, loader,
+                             save_cam=True, cam_save_dir=host_dir, device_resize=False)
+    res_dev = validate_prms(model, critic, variables, critic_vars, loader,
+                            save_cam=True, cam_save_dir=dev_dir, device_resize=True)
+    for k in res_host:
+        np.testing.assert_allclose(res_dev[k], res_host[k], atol=1e-4)
+    import os
+
+    for f in os.listdir(host_dir):
+        a, b = np.load(os.path.join(host_dir, f)), np.load(os.path.join(dev_dir, f))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_device_metrics_match_host_chain():
+    import jax.numpy as jnp
+
+    from tris_tpu.eval.validate import (
+        _device_metrics, _padded_resize_matrix, normalize_threshold,
+    )
+
+    rng = np.random.default_rng(5)
+    h = w = 16
+    sizes = [(30, 44), (48, 64)]
+    maxh, maxw = 48, 64
+    # negative-valued maps (stage-2 logits), an all-zero map (tie case), and
+    # ordinary relu maps all in one batch
+    cams = rng.standard_normal((2, 3, h, w)).astype(np.float32)
+    cams[0, 0] = np.abs(cams[0, 0])
+    cams[1, 1] = 0.0
+    targets = np.zeros((2, maxh, maxw), np.uint8)
+    gt = [rng.random(s) > 0.6 for s in sizes]
+    for b, s in enumerate(sizes):
+        targets[b, : s[0], : s[1]] = gt[b]
+    bboxes = np.array([[5, 3, 30, 20], [0, 0, 10, 10]], np.float32)
+    Ah = jnp.asarray(np.stack([_padded_resize_matrix(h, s[0], maxh) for s in sizes]))
+    Aw = jnp.asarray(np.stack([_padded_resize_matrix(w, s[1], maxw) for s in sizes]))
+    I, U, hit, hitm = (
+        np.asarray(x)
+        for x in _device_metrics(jnp.asarray(cams), Ah, Aw, jnp.asarray(targets), jnp.asarray(bboxes))
+    )
+    for b, (oh, ow) in enumerate(sizes):
+        for j in range(3):
+            cam_norm, pred = normalize_threshold(resize_to_original_np(cams[b, j], oh, ow))
+            wi, wu = metrics.compute_mask_iu(gt[b].astype(np.uint8), pred)
+            whit, _, whitm = metrics.is_correct_hit(
+                bboxes[b][None], cam_norm, gt[b].astype(np.uint8)
+            )
+            assert (I[b, j], U[b, j]) == (wi, wu), (b, j)
+            assert (hit[b, j], hitm[b, j]) == (whit, whitm), (b, j)
+
+
+def test_validate_device_metrics_matches_host_path(eval_setup):
+    model, variables, loader = eval_setup
+    # save_cam=False + with_boxes=False activates the scalars-only device path
+    res_dev = validate(model, variables, loader, with_boxes=False, device_resize=True)
+    res_host = validate(model, variables, loader, with_boxes=False, device_resize=False)
+    for k in res_host:
+        np.testing.assert_allclose(res_dev[k], res_host[k], atol=1e-4)
+
+
+def test_validate_on_mesh_matches_single_device(eval_setup):
+    from tris_tpu.parallel.mesh import create_mesh
+
+    model, variables, loader = eval_setup
+    mesh = create_mesh(jax.devices()[:2])  # eval_batch=2 shards 1 ref/chip
+    res_mesh = validate(model, variables, loader, with_boxes=False, mesh=mesh)
+    res_one = validate(model, variables, loader, with_boxes=False)
+    for k in res_one:
+        np.testing.assert_allclose(res_mesh[k], res_one[k], atol=1e-4)
+
+
+def test_validate_prms_on_mesh_matches_single_device(eval_setup, tmp_path):
+    from tris_tpu.parallel.mesh import create_mesh
+
+    model, variables, loader = eval_setup
+    critic = CLIP(TINY_VIT_CLIP)
+    import jax.numpy as jnp
+
+    critic_vars = critic.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jnp.ones((1, 20), jnp.int32)
+    )
+    mesh = create_mesh(jax.devices()[:2])
+    d1, d2 = str(tmp_path / "one"), str(tmp_path / "mesh")
+    res_one = validate_prms(model, critic, variables, critic_vars, loader,
+                            save_cam=True, cam_save_dir=d1)
+    res_mesh = validate_prms(model, critic, variables, critic_vars, loader,
+                             save_cam=True, cam_save_dir=d2, mesh=mesh)
+    for k in res_one:
+        np.testing.assert_allclose(res_mesh[k], res_one[k], atol=1e-4)
+    import os
+
+    for f in os.listdir(d1):
+        np.testing.assert_allclose(
+            np.load(os.path.join(d2, f)), np.load(os.path.join(d1, f)), atol=1e-5
+        )

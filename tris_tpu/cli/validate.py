@@ -34,6 +34,18 @@ def main(args):
         logger.info(f"[referit/{args.test_split}] {res}")
         return res
 
+    # shard eval batches over every local chip that divides eval_batch
+    # (single chip -> None, plain transfers). Multihost eval instead shards
+    # REFS across processes (cli/common.py) and merges metric counters, so
+    # the in-process mesh stays off there.
+    mesh = None
+    if jax.process_count() == 1 and jax.device_count() > 1:
+        from tris_tpu.parallel.mesh import create_mesh_for_batch
+
+        mesh = create_mesh_for_batch(args.eval_batch)
+        if len(mesh.devices) == 1:
+            mesh = None
+
     results = {}
     for split in args.test_split.split(","):
         loaders = build_loaders(args, train=False, eval_splits=[split])
@@ -43,14 +55,16 @@ def main(args):
                 model, critic, eval_vars, critic_vars, loaders[split],
                 save_cam=args.save_cam, cam_save_dir=args.cam_save_dir,
                 name_save_dir=args.name_save_dir, dataset_name=args.dataset,
-                log=logger.info,
+                log=logger.info, host_threads=args.host_threads,
+                device_resize=not args.no_device_resize, mesh=mesh,
             )
         else:
             res = validate(
                 model, eval_vars, loaders[split],
                 save_cam=args.save_cam, cam_save_dir=args.cam_save_dir,
                 name_save_dir=args.name_save_dir, dataset_name=args.dataset,
-                log=logger.info,
+                log=logger.info, host_threads=args.host_threads,
+                device_resize=not args.no_device_resize, mesh=mesh,
             )
         results[split] = res
         logger.info(f"[{split}] {res}")

@@ -89,6 +89,10 @@ def get_parser() -> argparse.ArgumentParser:
                         help="jax.distributed.initialize() for multi-host DP")
     parser.add_argument("--profile", default=None, type=str,
                         help="capture a jax.profiler trace of steps 10-20 to this dir")
+    parser.add_argument("--host_threads", default=0, type=int,
+                        help="threads for per-ref host metric work (0 = cpu_count)")
+    parser.add_argument("--no_device_resize", action="store_true",
+                        help="keep the eval original-size upsample+normalize on host")
     return parser
 
 

@@ -75,6 +75,16 @@ class ReferSegDataset:
     def __len__(self) -> int:
         return len(self.ref_ids)
 
+    def max_orig_size(self) -> tuple:
+        """(max_height, max_width) over this split's images — the static
+        padded output shape for device-side original-size resizes."""
+        mh = mw = 1
+        for rid in self.ref_ids:
+            img = self.refer.Imgs[self.refer.Refs[rid]["image_id"]]
+            mh = max(mh, int(img["height"]))
+            mw = max(mw, int(img["width"]))
+        return mh, mw
+
     # ---- raw annotation access -------------------------------------------
 
     def ref_info(self, index: int) -> dict:

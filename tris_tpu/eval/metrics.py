@@ -160,22 +160,28 @@ class SegEvalAccumulator:
         self.with_boxes = with_boxes
         self.prec_hits = {t: 0.0 for t in SEG_IOU_THRESHOLDS}
 
+    def add_stats(self, I: float, U: float, hit: float, hitm: float, weight: int = 1):
+        """Update all non-box counters from precomputed (I, U, hit, hitm) —
+        the entry point for device-side metric reduction, where masks never
+        reach the host. Matches :meth:`add`'s arithmetic exactly."""
+        iou = I / max(U, 1e-12)
+        self.I += I * weight * weight
+        self.U += U * weight * weight
+        self.miou.update(iou, weight)
+        self.n += weight
+        self.hit += hit * weight
+        self.hitm += hitm * weight
+        for t in SEG_IOU_THRESHOLDS:
+            self.prec_hits[t] += (iou >= t) * weight
+
     def add(self, target: np.ndarray, pred: np.ndarray, cam: np.ndarray,
             gt_box: np.ndarray, weight: int = 1):
         """weight=1 for the per-sentence path; weight=S for PRMS, reproducing
         the reference's meter updates exactly (validate.py:204-208,343-352 —
         including the S^2 weighting of the oIoU I/U sums in PRMS)."""
         I, U = compute_mask_iu(target, pred)
-        iou = I / max(U, 1e-12)
-        self.I += I * weight * weight
-        self.U += U * weight * weight
-        self.miou.update(iou, weight)
-        self.n += weight
         hit, max_loc, hitm = is_correct_hit(gt_box, cam, target)
-        self.hit += hit * weight
-        self.hitm += hitm * weight
-        for t in SEG_IOU_THRESHOLDS:
-            self.prec_hits[t] += (iou >= t) * weight
+        self.add_stats(I, U, hit, hitm, weight)
         if self.with_boxes:
             boxes = generate_bbox(pred.astype(np.float64))
             bbox_hit = boxes[0]

@@ -22,7 +22,20 @@ def validate_referit(model, variables, dataset, max_tokens: int = 20,
                      print_freq: int = 100, log=print) -> dict:
     forward = make_eval_forward(model)
     acc = SegEvalAccumulator(with_boxes=False)
-    for step, ex in enumerate(dataset.iter_examples()):
+    step = 0
+
+    def process(cams_dev, refs, S, oh, ow):
+        cams = np.asarray(cams_dev)[0][:S]  # blocks on this image's device work
+        for j, ref in enumerate(refs):
+            cam = resize_to_original_np(cams[j], oh, ow)
+            cam_norm, pred = normalize_threshold(cam)
+            bbox = np.asarray(ref["bbox"], np.float64).reshape(-1, 4)
+            acc.add(ref["mask"], pred, cam_norm.astype(np.float32), bbox, weight=1)
+
+    # one-deep software pipeline: the next image's forward is dispatched
+    # (async) before the current image's host metric chain runs
+    pending = None
+    for ex in dataset.iter_examples():
         refs = ex["refs"]
         if not refs:
             continue
@@ -33,15 +46,15 @@ def validate_referit(model, variables, dataset, max_tokens: int = 20,
         bucket = 1 << max(0, (S - 1).bit_length())
         if bucket > S:
             ids = np.concatenate([ids, np.zeros((bucket - S, ids.shape[1]), ids.dtype)])
-        cams = np.asarray(forward(variables, image, jnp.asarray(ids[None])))[0][:S]
-        oh, ow = ex["orig_size"]
-        for j, ref in enumerate(refs):
-            cam = resize_to_original_np(cams[j], oh, ow)
-            cam_norm, pred = normalize_threshold(cam)
-            bbox = np.asarray(ref["bbox"], np.float64).reshape(-1, 4)
-            acc.add(ref["mask"], pred, cam_norm.astype(np.float32), bbox, weight=1)
-        if (step + 1) % print_freq == 0:
-            r = acc.results()
-            log(f"referit [{step + 1}] mIoU {r['mIoU']:.3f} oIoU {r['oIoU']:.3f} "
-                f"P@0.5 {r['prec@0.5']:.3f}")
+        out = forward(variables, image, jnp.asarray(ids[None]))
+        if pending is not None:
+            process(*pending)
+            step += 1
+            if step % print_freq == 0:
+                r = acc.results()
+                log(f"referit [{step}] mIoU {r['mIoU']:.3f} oIoU {r['oIoU']:.3f} "
+                    f"P@0.5 {r['prec@0.5']:.3f}")
+        pending = (out, refs, S, ex["orig_size"][0], ex["orig_size"][1])
+    if pending is not None:
+        process(*pending)
     return acc.results()
