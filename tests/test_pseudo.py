@@ -211,3 +211,20 @@ def test_multi_scale_flip_stacks():
     np.testing.assert_array_equal(stacks[0][1], img[:, ::-1].astype(np.float32))
     assert stacks[1].shape == (2, 20, 30, 3)
     np.testing.assert_array_equal(stacks[1][0], pil_rescale(img, 0.5, 3).astype(np.float32))
+
+
+def test_ins_seg_multi_scale_consumption_path():
+    """The exact consumption pattern run_make_ins_seg uses for non-unit
+    scales: rescale the RAW image per scale, then normalize (the reference's
+    MSF order). Guards against the helper being handed float arrays PIL
+    cannot rescale."""
+    from tris_tpu.pseudo.aug import multi_scale_flip_stacks
+    from tris_tpu.pseudo.pipeline import normalize_image
+
+    rng = np.random.default_rng(1)
+    raw = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+    img = normalize_image(multi_scale_flip_stacks(raw, (1.0, 0.5))[0][0])
+    assert img.shape == (40, 60, 3) and img.dtype == np.float32
+    np.testing.assert_allclose(img, normalize_image(raw), atol=1e-6)
+    half = normalize_image(multi_scale_flip_stacks(raw, (0.5,))[0][0])
+    assert half.shape == (20, 30, 3)

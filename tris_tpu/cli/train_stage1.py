@@ -116,7 +116,10 @@ def main(args):
         eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
         results = {}
         for split in eval_splits:
-            results[split] = validate(model, eval_vars, loaders[split], log=logger.info)
+            # --fast_eval: selection needs only mIoU/hit -> scalars-only
+            # device metrics, no per-batch map fetches
+            results[split] = validate(model, eval_vars, loaders[split], log=logger.info,
+                                      with_boxes=not args.fast_eval)
             logger.info(f"[epoch {epoch}] {split}: {results[split]}")
         primary = results[eval_splits[0]]
         best = keeper.update(epoch, primary["mIoU"], primary["hit"], state,

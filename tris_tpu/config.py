@@ -93,6 +93,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help="threads for per-ref host metric work (0 = cpu_count)")
     parser.add_argument("--no_device_resize", action="store_true",
                         help="keep the eval original-size upsample+normalize on host")
+    parser.add_argument("--fast_eval", action="store_true",
+                        help="per-epoch model-selection eval without box metrics: "
+                             "I/U/hit reduce on device and only scalars are fetched "
+                             "(selection uses mIoU/hit only; the reference logs box "
+                             "metrics every epoch, so this is off by default)")
     return parser
 
 

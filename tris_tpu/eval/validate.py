@@ -23,6 +23,7 @@ Outputs for the IRNet stage keep the reference's file contract:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -72,6 +73,7 @@ def normalize_threshold(cam: np.ndarray):
 # one einsum, so results are bit-comparable with resize_to_original_np.
 
 
+@functools.lru_cache(maxsize=256)
 def _padded_resize_matrix(in_size: int, out_size: int, max_out: int) -> np.ndarray:
     A = np.zeros((max_out, in_size), np.float32)
     A[:out_size] = _resize_matrix_np(in_size, out_size, True)
@@ -139,10 +141,31 @@ def _device_metrics(cams, Ah, Aw, targets, bboxes):
     return _metrics_core(norm, valid, targets, bboxes)
 
 
-def _resize_mats_for_batch(batch, h: int, w: int, maxh: int, maxw: int):
-    Ah = np.stack([_padded_resize_matrix(h, t.shape[0], maxh) for t in batch["target"]])
-    Aw = np.stack([_padded_resize_matrix(w, t.shape[1], maxw) for t in batch["target"]])
-    return Ah, Aw
+def _make_mats_fn(put, mesh):
+    """Batch -> (Ah, Aw) device interpolation-matrix stacks.
+
+    Original sizes repeat heavily (most of COCO is 640x480/480x640), so the
+    single-device path caches each image's padded matrix ON DEVICE and stacks
+    resident arrays — no per-batch rebuild or host->device re-upload. The
+    mesh path keeps the host build + sharded upload (stacking replicated
+    device arrays would then need a resharding pass anyway)."""
+    if mesh is not None:
+        def mats(batch, h, w, maxh, maxw):
+            Ah = np.stack([_padded_resize_matrix(h, t.shape[0], maxh) for t in batch["target"]])
+            Aw = np.stack([_padded_resize_matrix(w, t.shape[1], maxw) for t in batch["target"]])
+            return put(Ah), put(Aw)
+        return mats
+
+    @functools.lru_cache(maxsize=256)
+    def dev_mat(in_size: int, out_size: int, max_out: int):
+        return jnp.asarray(_padded_resize_matrix(in_size, out_size, max_out))
+
+    def mats(batch, h, w, maxh, maxw):
+        Ah = jnp.stack([dev_mat(h, t.shape[0], maxh) for t in batch["target"]])
+        Aw = jnp.stack([dev_mat(w, t.shape[1], maxw) for t in batch["target"]])
+        return Ah, Aw
+
+    return mats
 
 
 def _padded_targets_boxes(batch, maxh: int, maxw: int):
@@ -162,14 +185,9 @@ def _make_input_fn(mesh):
     one, plain transfers."""
     if mesh is None:
         return jnp.asarray
-    from tris_tpu.parallel.mesh import batch_sharding
+    from tris_tpu.parallel.mesh import make_put
 
-    sharding = batch_sharding(mesh)
-
-    def put(x):
-        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
-
-    return put
+    return make_put(mesh)
 
 
 @jax.jit
@@ -282,6 +300,7 @@ def validate(
     scalars_only = bool(max_size) and not save_cam and not with_boxes
     pool = None if max_size else _host_pool(host_threads)
     put = _make_input_fn(mesh)
+    mats = _make_mats_fn(put, mesh)
     if mesh is not None:
         from tris_tpu.parallel.mesh import replicate_tree
 
@@ -326,12 +345,12 @@ def validate(
         out = forward(variables, put(batch["image"]), put(batch["word_ids"]))
         if max_size:
             h, w = batch["image"].shape[1:3]
-            Ah, Aw = _resize_mats_for_batch(batch, h, w, *max_size)
+            Ah, Aw = mats(batch, h, w, *max_size)
             if scalars_only:
                 tgt, boxes = _padded_targets_boxes(batch, *max_size)
-                out = _device_metrics(out, put(Ah), put(Aw), put(tgt), put(boxes))
+                out = _device_metrics(out, Ah, Aw, put(tgt), put(boxes))
             else:
-                out = _device_resize_norm(out, put(Ah), put(Aw))
+                out = _device_resize_norm(out, Ah, Aw)
         if pending is not None:
             process(*pending)
             step += 1
@@ -381,6 +400,7 @@ def validate_prms(
     max_size = getattr(getattr(loader, "ds", None), "max_orig_size", lambda: None)() if device_resize else None
     pool = None if max_size else _host_pool(host_threads)
     put = _make_input_fn(mesh)
+    mats = _make_mats_fn(put, mesh)
     if mesh is not None:
         from tris_tpu.parallel.mesh import replicate_tree
 
@@ -434,9 +454,9 @@ def validate_prms(
         stats = None
         if max_size:
             h, w = batch["image"].shape[1:3]
-            Ah, Aw = _resize_mats_for_batch(batch, h, w, *max_size)
+            Ah, Aw = mats(batch, h, w, *max_size)
             tgt, boxes = _padded_targets_boxes(batch, *max_size)
-            stats, cams = _gather_metrics_norm(cams, best, put(Ah), put(Aw), put(tgt), put(boxes))
+            stats, cams = _gather_metrics_norm(cams, best, Ah, Aw, put(tgt), put(boxes))
         if pending is not None:
             process(*pending)
             step += 1

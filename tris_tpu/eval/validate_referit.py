@@ -20,6 +20,11 @@ from tris_tpu.eval.validate import make_eval_forward, normalize_threshold, resiz
 
 def validate_referit(model, variables, dataset, max_tokens: int = 20,
                      print_freq: int = 100, log=print) -> dict:
+    """Metrics stay on host here (unlike validate.py's device paths): ReferIt
+    iterates per image with per-ref masks and possibly multiple gt boxes, and
+    original sizes are only known after image load, so a static padded device
+    program would recompile per size. The one-deep dispatch pipeline below
+    still overlaps chip and host."""
     forward = make_eval_forward(model)
     acc = SegEvalAccumulator(with_boxes=False)
     step = 0

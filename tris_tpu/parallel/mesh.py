@@ -68,22 +68,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
-    """Assemble each process's local batch into a global batch-sharded array.
-
-    Every array's leading dim is sharded over the mesh's data axis. In a
-    multi-process run each process passes its LOCAL shard (per-process batch)
-    and the global array has leading dim ``local * process_count``
+def make_put(mesh: Mesh, axis: str = DATA_AXIS):
+    """Per-array host->device put that shards the leading (batch) dim over the
+    mesh. In a multi-process run each process passes its LOCAL shard and the
+    global array has leading dim ``local * process_count``
     (`jax.make_array_from_process_local_data`, the jax.Array replacement for
     per-rank DDP batches). Single-process it is equivalent to a device_put.
     """
     sharding = batch_sharding(mesh, axis)
 
     def put(x):
-        x = np.asarray(x)
-        return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
-    return jax.tree_util.tree_map(put, tree)
+    return put
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Assemble each process's local batch into a global batch-sharded array
+    (see :func:`make_put` for the per-array semantics)."""
+    return jax.tree_util.tree_map(make_put(mesh, axis), tree)
 
 
 def replicate_tree(mesh: Mesh, tree):

@@ -92,8 +92,9 @@ def affinity_labels_from_indices(
 
 
 def multi_scale_flip_stacks(img: np.ndarray, scales=(1.0,)) -> list:
-    """Per-scale horizontal-flip stacks of a normalized HWC image
-    (``ReferClassificationDatasetMSF.__getitem__``, voc12/dataloader.py:304-348).
+    """Per-scale horizontal-flip stacks of a RAW (uint8) HWC image
+    (``ReferClassificationDatasetMSF.__getitem__``, voc12/dataloader.py:304-348
+    — the reference also rescales the raw image and normalizes afterwards).
 
     Returns ``[ [2, H_s, W_s, C] float32 per scale ]``: index 0 of each stack
     is the image at that scale (bicubic rescale for s != 1), index 1 its

@@ -202,15 +202,19 @@ def run_make_ins_seg(cfg: PseudoConfig, variables=None, names: Optional[List[str
     model = IRNet()
     os.makedirs(cfg.ins_seg_dir, exist_ok=True)
 
-    from tris_tpu.pseudo.aug import multi_scale_flip_stacks
-
     for i, name in enumerate(names):
         raw = load_raw_image(cfg, name)
         oh, ow = raw.shape[:2]
-        # MSF stacks at cfg.scales; like the reference (pack['img'][0]), only
-        # the first scale feeds inference — flip averaging is inside the model.
-        stacks = multi_scale_flip_stacks(normalize_image(raw), cfg.scales)
-        img = stacks[0][0]
+        if len(cfg.scales) == 1 and cfg.scales[0] == 1.0:
+            img = normalize_image(raw)  # default path: no stack allocations
+        else:
+            # MSF stacks at cfg.scales on the RAW image (rescale then
+            # normalize, as the reference does); like the reference
+            # (pack['img'][0]), only the first scale feeds inference — flip
+            # averaging is inside the model.
+            from tris_tpu.pseudo.aug import multi_scale_flip_stacks
+
+            img = normalize_image(multi_scale_flip_stacks(raw, cfg.scales)[0][0])
         edge, disp = edge_displacement_infer(model, variables, jnp.asarray(img))
         cam = np.asarray(np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True),
                          np.float32)
