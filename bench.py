@@ -177,7 +177,10 @@ def bench_eval() -> None:
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 16))   # refs per program
     sents = int(os.environ.get("TRIS_BENCH_SENTS", 4))    # bucketed S
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
-    iters = int(os.environ.get("TRIS_BENCH_ITERS", 15))
+    # short per-iter programs need many iterations to amortize the relayed
+    # runtime's fixed per-run dispatch overhead (PERF_NOTES: 180 -> 930
+    # refs/s on PRMS going from 10 to 150 iters; device trace says ~12 ms/batch)
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 100))
 
     model = TRISStage1(Stage1Config(), dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
@@ -226,7 +229,7 @@ def bench_prms() -> None:
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 16))   # refs per program
     sents = int(os.environ.get("TRIS_BENCH_SENTS", 4))    # bucketed S
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
-    iters = int(os.environ.get("TRIS_BENCH_ITERS", 10))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 100))  # see bench_eval note
 
     model = TRISStage1(Stage1Config(), dtype=jnp.bfloat16)
     critic = CLIP(dataclasses.replace(CLIP_CONFIGS["ViT-B-32"], txt_length=20),
