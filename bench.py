@@ -12,7 +12,7 @@ Env knobs:
   TRIS_BENCH_BATCH   (default 128)
   TRIS_BENCH_SIZE    (default 320)
   TRIS_BENCH_DTYPE   (default bf16; 'f32' for full precision)
-  TRIS_BENCH_ITERS   (default 20)
+  TRIS_BENCH_ITERS   (default 100; train mode 50)
   TRIS_BENCH_MODE    (default 'infer'; 'train' benches the full stage-1
                       training step incl. frozen-critic losses + AdamW;
                       'prms' benches the fused PRMS program — S model
@@ -48,7 +48,7 @@ def main() -> None:
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
-    iters = int(os.environ.get("TRIS_BENCH_ITERS", 20))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 100))  # amortize relay dispatch overhead
     dtype = jnp.bfloat16 if os.environ.get("TRIS_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     model = TRISStage1(Stage1Config(backbone="RN50", hidden_dim=1024, txt_length=20), dtype=dtype)
@@ -129,7 +129,7 @@ def bench_train() -> None:
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 48))
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
-    iters = int(os.environ.get("TRIS_BENCH_ITERS", 15))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 50))
     negatives = 3
 
     model = TRISStage1(Stage1Config(), dtype=jnp.bfloat16)
