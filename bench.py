@@ -20,7 +20,10 @@ Env knobs:
                       offline hot loop validate.py:311-328;
                       'eval' benches the multi-sentence eval forward
                       (response_maps: trunk shared across sentences) — the
-                      reference's per-epoch validation loop validate.py:173-179)
+                      reference's per-epoch validation loop validate.py:173-179;
+                      'train2' benches the stage-2 training step: 4-side-output
+                      BCE vs pseudo-masks + EMA mean-teacher consistency +
+                      AdamW, the reference's train_stage2.py:290-332 hot loop)
   TRIS_BENCH_SENTS   (prms mode: sentences per ref bucket, default 4)
 """
 
@@ -45,6 +48,8 @@ def main() -> None:
         return bench_prms()
     if mode == "eval":
         return bench_eval()
+    if mode == "train2":
+        return bench_train2()
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
@@ -156,6 +161,49 @@ def bench_train() -> None:
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "stage1_rn50_320px_train_step_throughput_per_chip",
+        "value": round(batch * iters / dt / jax.device_count(), 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+def bench_train2() -> None:
+    """Stage-2 training step throughput: 4 side-output BCE vs pseudo-masks +
+    EMA mean-teacher consistency + per-group AdamW (train/stage2.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tris_tpu.models.stage2 import Stage2Config, TRISStage2
+    from tris_tpu.train.stage2 import Stage2TrainConfig, make_train_step
+    from tris_tpu.train.state import create_train_state
+
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 48))
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 50))
+
+    model = TRISStage2(Stage2Config(), dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((batch, size, size, 3), jnp.float32)
+    ids = jnp.zeros((batch, 20), jnp.int32).at[:, 0].set(49406).at[:, 2].set(49407)
+    variables = jax.jit(lambda k: model.init(k, img, ids, train=True))(key)
+    use_ema = os.environ.get("TRIS_BENCH_EMA", "1") == "1"
+    state = create_train_state(model, variables, total_steps=10 ** 6, stage="stage2",
+                               with_ema=use_ema)
+    step = make_train_step(model, Stage2TrainConfig(use_ema=use_ema))
+    bt = {
+        "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
+        "word_ids": ids,
+        "pseudo": (jax.random.uniform(key, (batch, size, size, 1)) > 0.5).astype(jnp.float32),
+    }
+    state, m = step(state, bt)
+    float(m["loss"])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, bt)
+    float(m["loss"])  # forces completion of the chain
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "stage2_rn50_320px_train_step_throughput_per_chip",
         "value": round(batch * iters / dt / jax.device_count(), 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,

@@ -214,3 +214,25 @@ def test_stage2_positional_embedding_in_head_group():
     pe = np.abs(np.asarray(flat[("backbone", "positional_embedding")])).max()
     bb = np.abs(np.asarray(flat[("backbone", "visual", "conv1", "kernel")])).max()
     assert np.isclose(pe / bb, 10.0, rtol=1e-3)  # pe in head group (1x vs 0.1x)
+
+
+def test_ema_state_does_not_alias_params():
+    """create_train_state(with_ema=True) must deep-copy params into the
+    teacher: with device-array inputs an aliased tree would hand the donated
+    TPU train step the same buffer twice (runtime InvalidArgument)."""
+    import jax.numpy as jnp
+
+    from tris_tpu.models.stage2 import Stage2Config, TRISStage2
+    from tris_tpu.train.state import create_train_state
+
+    model = TRISStage2(Stage2Config(clip_override=TINY_RESNET_CLIP))
+    img = jnp.zeros((1, 64, 64, 3))
+    ids = jnp.ones((1, 20), jnp.int32)
+    # jitted init -> device-array leaves (the aliasing-prone case)
+    variables = jax.jit(lambda k: model.init(k, img, ids, train=True))(jax.random.PRNGKey(0))
+    state = create_train_state(model, variables, total_steps=10, stage="stage2", with_ema=True)
+    p = jax.tree_util.tree_leaves(state.params)
+    e = jax.tree_util.tree_leaves(state.ema_params)
+    assert all(
+        a.unsafe_buffer_pointer() != b.unsafe_buffer_pointer() for a, b in zip(p, e)
+    )

@@ -143,7 +143,10 @@ def create_train_state(
         total_steps=total_steps, stage=stage, schedule_factory=schedule_factory,
     )
     stats = variables.get("batch_stats", {})
-    copy = lambda t: jax.tree_util.tree_map(lambda x: x, t)  # noqa: E731
+    # a REAL buffer copy: with device-array inputs an identity tree_map would
+    # alias ema_params to params, and the donated train step would then pass
+    # the same buffer twice — the TPU runtime rejects that (InvalidArgument)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
