@@ -195,8 +195,14 @@ def bench_train2() -> None:
         "word_ids": ids,
         "pseudo": (jax.random.uniform(key, (batch, size, size, 1)) > 0.5).astype(jnp.float32),
     }
+    # warm TWO steps: the first output's buffer layouts differ from the
+    # freshly-created state's, so the signature reaches its fixed point (and
+    # the jit cache its steady size) only on the second call — timing from
+    # one warmup would put a full recompile inside the loop (PERF_NOTES)
     state, m = step(state, bt)
-    float(m["loss"])  # compile + sync
+    float(m["loss"])
+    state, m = step(state, bt)
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, bt)
