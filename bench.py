@@ -1,30 +1,40 @@
-"""Benchmark: stage-1 TRIS (CLIP-RN50) inference throughput at 320px on TPU.
+"""Benchmark: TRIS-TPU throughput on real TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"[, "extra"]}.
 
-The reference publishes no throughput numbers (BASELINE.md), and this
-environment has no CUDA GPU to measure the PyTorch reference on, so
-``vs_baseline`` reports the ratio against a recorded baseline in
-``BASELINE.json`` under ``published.pytorch_images_per_sec`` when present,
-else null.
+The reference publishes no throughput numbers (BASELINE.md) and this
+environment has no CUDA GPU, so ``vs_baseline`` reports the ratio against
+torch-CPU anchors measured from the reference code itself
+(tools/measure_torch_baseline.py, recorded in BASELINE.json under
+``published.*`` with provenance), else null.
+
+The default (infer) line carries an ``extra`` sub-object with the most recent
+measured numbers of the OTHER modes (from BENCH_EXTRA.json, refreshed by
+``TRIS_BENCH_MODE=all`` or any single-mode run) so one driver run pins the
+whole mode matrix, not just inference.
 
 Env knobs:
-  TRIS_BENCH_BATCH   (default 128)
-  TRIS_BENCH_SIZE    (default 320)
+  TRIS_BENCH_BATCH   (default 128; train modes 48; eval/prms 16)
+  TRIS_BENCH_SIZE    (default 320; insseg 512)
   TRIS_BENCH_DTYPE   (default bf16; 'f32' for full precision)
-  TRIS_BENCH_ITERS   (default 100; train mode 50)
-  TRIS_BENCH_MODE    (default 'infer'; 'train' benches the full stage-1
-                      training step incl. frozen-critic losses + AdamW;
-                      'prms' benches the fused PRMS program — S model
-                      forwards + SxS critic scoring per ref, the reference's
-                      offline hot loop validate.py:311-328;
-                      'eval' benches the multi-sentence eval forward
-                      (response_maps: trunk shared across sentences) — the
-                      reference's per-epoch validation loop validate.py:173-179;
-                      'train2' benches the stage-2 training step: 4-side-output
-                      BCE vs pseudo-masks + EMA mean-teacher consistency +
-                      AdamW, the reference's train_stage2.py:290-332 hot loop)
-  TRIS_BENCH_SENTS   (prms mode: sentences per ref bucket, default 4)
+  TRIS_BENCH_ITERS   (default 100; train modes 50; insseg 4)
+  TRIS_BENCH_MODE    'infer' (default) stage-1 eval forward
+                     'train'  full stage-1 training step incl. frozen-critic
+                              losses + AdamW (train_stage1.py:301-372)
+                     'train2' stage-2 training step: 4-side-output BCE +
+                              EMA mean-teacher + AdamW (train_stage2.py:290-332)
+                     'eval'   multi-sentence eval forward (response_maps,
+                              trunk shared across sentences; validate.py:173-179)
+                     'prms'   fused PRMS program — S model forwards + SxS
+                              critic scores per ref (validate.py:311-328)
+                     'insseg' IRNet pseudo-mask device stage: EdgeDisplacement
+                              forward + centroid scan + random-walk
+                              propagation (make_ins_seg_labels.py:126-158,
+                              indexing.py:141-166 — the reference's heaviest op)
+                     'all'    run every mode, refresh BENCH_EXTRA.json, print
+                              the infer line with all modes in "extra"
+  TRIS_BENCH_SENTS   (eval/prms: sentences per ref bucket, default 4)
+  TRIS_BENCH_EMA     (train2: '1' EMA teacher on (default), '0' off)
 """
 
 from __future__ import annotations
@@ -33,23 +43,99 @@ import json
 import os
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+EXTRA_PATH = os.path.join(REPO, "BENCH_EXTRA.json")
+
+_BASELINE_KEYS = {
+    "infer": "pytorch_images_per_sec",
+    "train": "pytorch_train_images_per_sec",
+    "train2": "pytorch_train2_images_per_sec",
+    "eval": "pytorch_eval_refs_per_sec",
+    "prms": "pytorch_prms_refs_per_sec",
+    "insseg": "pytorch_insseg_images_per_sec",
+}
+
+
+def _vs_baseline(mode: str, value: float):
+    try:
+        with open(os.path.join(REPO, "BASELINE.json")) as f:
+            published = json.load(f).get("published", {})
+        ref = published.get(_BASELINE_KEYS.get(mode, ""))
+        if ref:
+            return value / float(ref)
+    except Exception:
+        pass
+    return None
+
+
+def _result(mode: str, metric: str, value: float, unit: str) -> dict:
+    return {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": _vs_baseline(mode, value),
+    }
+
+
+def _update_extra(results: dict) -> None:
+    """Record per-mode results (with a timestamp) for the default line's
+    ``extra`` sub-object."""
+    data = {}
+    try:
+        with open(EXTRA_PATH) as f:
+            data = json.load(f)
+    except Exception:
+        pass
+    stamp = time.strftime("%Y-%m-%d")
+    for mode, res in results.items():
+        data[mode] = dict(res, measured=stamp)
+    with open(EXTRA_PATH, "w") as f:
+        json.dump(data, f, indent=2)
+        f.write("\n")
+
+
+def _load_extra() -> dict:
+    try:
+        with open(EXTRA_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
 
 def main() -> None:
+    mode = os.environ.get("TRIS_BENCH_MODE", "infer")
+    fns = {
+        "infer": bench_infer,
+        "train": bench_train,
+        "train2": bench_train2,
+        "eval": bench_eval,
+        "prms": bench_prms,
+        "insseg": bench_insseg,
+    }
+    if mode == "all":
+        results = {}
+        for m, fn in fns.items():
+            results[m] = fn()
+        _update_extra(results)
+        out = dict(results["infer"])
+        out["extra"] = {m: r for m, r in results.items() if m != "infer"}
+        print(json.dumps(out))
+        return
+    res = fns[mode]()
+    _update_extra({mode: res})
+    if mode == "infer":
+        extra = {m: r for m, r in _load_extra().items() if m != "infer"}
+        if extra:
+            res = dict(res, extra=extra)
+    print(json.dumps(res))
+
+
+def bench_infer() -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from tris_tpu.models.stage1 import Stage1Config, TRISStage1
-
-    mode = os.environ.get("TRIS_BENCH_MODE", "infer")
-    if mode == "train":
-        return bench_train()
-    if mode == "prms":
-        return bench_prms()
-    if mode == "eval":
-        return bench_eval()
-    if mode == "train2":
-        return bench_train2()
 
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 128))  # sweep: 128 beats 64/256 on v5e
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
@@ -96,36 +182,18 @@ def main() -> None:
     float(acc)  # forces completion of every iteration
     dt = time.perf_counter() - t0
 
-    ips = batch * iters / dt
-    n_chips = jax.device_count()
-    ips_per_chip = ips / n_chips
-
-    vs = None
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
-            published = json.load(f).get("published", {})
-        ref = published.get("pytorch_images_per_sec")
-        if ref:
-            vs = ips_per_chip / float(ref)
-    except Exception:
-        pass
-
-    print(json.dumps({
-        "metric": "stage1_rn50_320px_inference_throughput_per_chip",
-        "value": round(ips_per_chip, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": vs,
-    }))
+    ips_per_chip = batch * iters / dt / jax.device_count()
+    return _result("infer", "stage1_rn50_320px_inference_throughput_per_chip",
+                   ips_per_chip, "images/sec/chip")
 
 
-def bench_train() -> None:
+def bench_train() -> dict:
     """Full stage-1 training step throughput (model fwd/bwd + frozen ViT-B/32
     critic losses + per-group AdamW update)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from tris_tpu.models.clip import CLIP, CLIP_CONFIGS
     from tris_tpu.models.stage1 import Stage1Config, TRISStage1
@@ -159,15 +227,11 @@ def bench_train() -> None:
         state, m = step(state, bt, critic_vars)
     float(m["loss"])  # forces completion of the chain
     dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "stage1_rn50_320px_train_step_throughput_per_chip",
-        "value": round(batch * iters / dt / jax.device_count(), 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": None,
-    }))
+    return _result("train", "stage1_rn50_320px_train_step_throughput_per_chip",
+                   batch * iters / dt / jax.device_count(), "images/sec/chip")
 
 
-def bench_train2() -> None:
+def bench_train2() -> dict:
     """Stage-2 training step throughput: 4 side-output BCE vs pseudo-masks +
     EMA mean-teacher consistency + per-group AdamW (train/stage2.py)."""
     import jax
@@ -208,15 +272,11 @@ def bench_train2() -> None:
         state, m = step(state, bt)
     float(m["loss"])  # forces completion of the chain
     dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "stage2_rn50_320px_train_step_throughput_per_chip",
-        "value": round(batch * iters / dt / jax.device_count(), 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": None,
-    }))
+    return _result("train2", "stage2_rn50_320px_train_step_throughput_per_chip",
+                   batch * iters / dt / jax.device_count(), "images/sec/chip")
 
 
-def bench_eval() -> None:
+def bench_eval() -> dict:
     """Multi-sentence eval forward throughput (refs/s): one shared image-trunk
     pass + S per-sentence text/fusion/head passes per ref
     (eval/validate.py::make_eval_forward). The reference runs S separate
@@ -257,15 +317,11 @@ def bench_eval() -> None:
         acc = chk(acc, forward(variables, image, ids))
     float(acc)
     dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": f"eval_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
-        "value": round(batch * iters / dt / jax.device_count(), 2),
-        "unit": "refs/sec/chip",
-        "vs_baseline": None,
-    }))
+    return _result("eval", f"eval_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
+                   batch * iters / dt / jax.device_count(), "refs/sec/chip")
 
 
-def bench_prms() -> None:
+def bench_prms() -> dict:
     """PRMS throughput: per ref, S model forwards (320px RN50) + S^2 critic
     scores, fused into one jit program (eval/validate.py::make_prms_forward).
     The reference runs this ref-by-ref at batch 1 with S^2 separate CLIP
@@ -307,13 +363,63 @@ def bench_prms() -> None:
         acc = acc + scores.sum()
     float(acc)
     dt = time.perf_counter() - t0
-    refs_per_s = batch * iters / dt
-    print(json.dumps({
-        "metric": f"prms_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
-        "value": round(refs_per_s / jax.device_count(), 2),
-        "unit": "refs/sec/chip",
-        "vs_baseline": None,
-    }))
+    return _result("prms", f"prms_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
+                   batch * iters / dt / jax.device_count(), "refs/sec/chip")
+
+
+def bench_insseg() -> dict:
+    """IRNet pseudo-mask device stage, per image (make_ins_seg_labels.py:126-158):
+    EdgeDisplacement forward (image + hflip through the frozen R50 trunk),
+    300-iteration centroid-refinement scan, host centroid clustering, and the
+    random-walk propagation — 8 squarings of the dense [HW/16, HW/16]
+    transition matrix, the reference's single heaviest op
+    (indexing.py:141-166). Shapes follow the IRNet recipe: 512px input,
+    stride-4 grid (128x128 -> 16384^2 dense matmuls, ~70 TFLOP/image).
+
+    Per iteration only small stride-4 grids cross the link (centroids/disp/
+    edge ~128 KB each for clustering, the [K, h4, w4] walk output ~1 MB) —
+    mirroring what the real pipeline fetches, and <10% of the walk's device
+    time even through the ~12 MB/s relay. The torch anchor for this stage is
+    impractical on CPU (~70 TFLOP/image dense matmuls), so vs_baseline stays
+    null unless BASELINE.json carries a GPU-side number."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tris_tpu.pseudo.irnet import IRNet, edge_displacement_infer
+    from tris_tpu.pseudo.labels import cluster_centroids, find_centroids_with_refinement
+    from tris_tpu.pseudo.indexing import propagate_to_edge_bucketed
+
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 512))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 4))  # ~70 TFLOP each: long programs
+
+    model = IRNet()
+    key = jax.random.PRNGKey(0)
+    img0 = jax.random.normal(key, (size, size, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, jnp.zeros((2, size, size, 3))))(key)
+
+    def one_image(img):
+        edge, disp = edge_displacement_infer(model, variables, img)
+        centroids = find_centroids_with_refinement(np.asarray(disp))  # fetches [2, h4, w4]
+        inst = cluster_centroids(centroids, np.asarray(disp))         # host CC
+        cam = np.asarray(jax.random.uniform(key, edge.shape), np.float32)
+        inst_cam = cam[None] * inst.astype(np.float32)
+        rw = propagate_to_edge_bucketed(inst_cam, np.asarray(edge, np.float32))
+        return float(rw.sum())
+
+    one_image(img0)  # compile + warm every program
+    n_inputs = 2
+    imgs = [jax.random.normal(k, (size, size, 3), jnp.float32)
+            for k in jax.random.split(key, n_inputs)]
+    jax.block_until_ready(imgs)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        acc += one_image(imgs[i % n_inputs])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return _result("insseg", f"insseg_irnet_{size}px_images_per_sec_per_chip",
+                   iters / dt / jax.device_count(), "images/sec/chip")
 
 
 if __name__ == "__main__":

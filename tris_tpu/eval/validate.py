@@ -73,7 +73,14 @@ def normalize_threshold(cam: np.ndarray):
 # one einsum, so results are bit-comparable with resize_to_original_np.
 
 
-@functools.lru_cache(maxsize=256)
+# Each cached matrix is [max_out, in] f32 — ~0.8 MB at COCO sizes (640x320).
+# COCO-family splits have few distinct original sizes so 256 entries never
+# evict; a dataset with thousands of distinct sizes can bound host+HBM cache
+# memory with TRIS_RESIZE_MAT_CACHE (entries per cache, host and device each).
+_MAT_CACHE_SIZE = int(os.environ.get("TRIS_RESIZE_MAT_CACHE", "256"))
+
+
+@functools.lru_cache(maxsize=_MAT_CACHE_SIZE)
 def _padded_resize_matrix(in_size: int, out_size: int, max_out: int) -> np.ndarray:
     A = np.zeros((max_out, in_size), np.float32)
     A[:out_size] = _resize_matrix_np(in_size, out_size, True)
@@ -156,7 +163,7 @@ def _make_mats_fn(put, mesh):
             return put(Ah), put(Aw)
         return mats
 
-    @functools.lru_cache(maxsize=256)
+    @functools.lru_cache(maxsize=_MAT_CACHE_SIZE)
     def dev_mat(in_size: int, out_size: int, max_out: int):
         return jnp.asarray(_padded_resize_matrix(in_size, out_size, max_out))
 
@@ -173,7 +180,17 @@ def _padded_targets_boxes(batch, maxh: int, maxw: int):
     tgt = np.zeros((B, maxh, maxw), np.uint8)
     for b, t in enumerate(batch["target"]):
         tgt[b, : t.shape[0], : t.shape[1]] = t
-    boxes = np.stack([np.asarray(bb, np.float32).reshape(-1)[:4] for bb in batch["bbox"]])
+    flat = [np.asarray(bb, np.float32).reshape(-1) for bb in batch["bbox"]]
+    for bb in flat:
+        # the host chain's is_correct_hit accepts a [K, 4] box stack and hits
+        # on ANY box; _metrics_core only handles one. Fail loudly rather than
+        # silently undercount hit on a multi-box dataset.
+        if bb.size != 4:
+            raise ValueError(
+                f"device-metrics path supports exactly one gt box per ref, got "
+                f"{bb.size // 4}; rerun with --no_device_resize for multi-box data"
+            )
+    boxes = np.stack(flat)
     return tgt, boxes
 
 
@@ -298,7 +315,10 @@ def validate(
     cam_out_names = []
     max_size = getattr(getattr(loader, "ds", None), "max_orig_size", lambda: None)() if device_resize else None
     scalars_only = bool(max_size) and not save_cam and not with_boxes
-    pool = None if max_size else _host_pool(host_threads)
+    # the pool serves every non-scalars process() path: host resize matmuls
+    # when not device_resize, and the cv2 box-metric pass (acc.compute) either
+    # way — so gate on scalars_only, not on max_size.
+    pool = None if scalars_only else _host_pool(host_threads)
     put = _make_input_fn(mesh)
     mats = _make_mats_fn(put, mesh)
     if mesh is not None:
@@ -326,14 +346,17 @@ def validate(
             b, j = job
             oh, ow = batch["target"][b].shape
             if max_size:  # cams are already device-normalized at padded size
-                cam_norm = cams[b, j, :oh, :ow]
-                return b, j, cam_norm > 1e-9, cam_norm
-            cam = resize_to_original_np(cams[b, j], oh, ow)
-            cam_norm, pred = normalize_threshold(cam)
-            return b, j, pred, cam_norm.astype(np.float32)
+                cam_norm = np.ascontiguousarray(cams[b, j, :oh, :ow])
+                pred = cam_norm > 1e-9
+            else:
+                cam = resize_to_original_np(cams[b, j], oh, ow)
+                cam_norm, pred = normalize_threshold(cam)
+                cam_norm = cam_norm.astype(np.float32)
+            stats = acc.compute(batch["target"][b], pred, cam_norm, batch["bbox"][b])
+            return b, j, stats, cam_norm
 
-        for b, j, pred, cam_norm in _map_jobs(pool, one, jobs):
-            acc.add(batch["target"][b], pred, cam_norm, batch["bbox"][b], weight=1)
+        for b, j, stats, cam_norm in _map_jobs(pool, one, jobs):
+            acc.add_computed(stats, weight=1)
             if save_cam and cam_save_dir:
                 idx = int(batch["index"][b])
                 img_id = int(batch["img_id"][b])

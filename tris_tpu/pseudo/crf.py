@@ -5,12 +5,13 @@ Replaces the reference's ``pydensecrf`` dependency
 (``gt_prob=0.7``), a Gaussian pairwise kernel (sxy=3, compat=3) and a
 bilateral pairwise kernel (sxy=50, srgb=5, compat=10), 10 mean-field steps.
 
-Filtering backends:
-- Gaussian term: separable spatial Gaussian via scipy (exact up to kernel
-  truncation), with the symmetric normalization densecrf uses.
-- Bilateral term: bilateral-grid (splat -> 5D Gaussian blur -> slice), the
-  standard fast approximation of the permutohedral lattice. A C++ lattice in
-  ``tris_tpu.native`` replaces it when built.
+Filtering backends: both the native C++ library (``tris_tpu.native``,
+preferred) and the pure-numpy fallback here implement the SAME permutohedral
+lattice (Adams et al. 2010) with densecrf's symmetric normalization, so the
+two backends agree to float rounding (cross-validated by
+tests/test_native.py::test_crf_backends_cross_agree; an earlier bilateral-grid
+fallback diverged up to 21% of ir_label pixels on blobby images and was
+replaced).
 
 This is an offline, host-side step in the pipeline (the reference runs it in
 CPU worker processes); accuracy is what matters here, not device placement.
@@ -18,8 +19,41 @@ CPU worker processes); accuracy is what matters here, not device placement.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
-from scipy import ndimage
+
+_warned_fallback = False
+
+
+def _native():
+    """The native CRF namespace, or None (with a one-time warning) when the
+    C++ library is unbuilt/unloadable.
+
+    The two backends are cross-validated by tests/test_native.py
+    (mean-field Q agreement + >=99% ir_label pixel agreement at the reference
+    thresholds), but they are NOT bit-identical — the scipy bilateral-grid is
+    an approximation of the permutohedral lattice — so a silent switch would
+    change pseudo-labels without trace. Errors raised by the native call
+    itself propagate; only unavailability falls back."""
+    global _warned_fallback
+    try:
+        from tris_tpu import native as native_mod
+
+        native_mod._lib()  # raises OSError when the .so is absent/unloadable
+        return native_mod.crf
+    except Exception as e:
+        if not _warned_fallback:
+            _warned_fallback = True
+            warnings.warn(
+                f"tris_tpu.native CRF unavailable ({e!r}); falling back to the "
+                "scipy bilateral-grid approximation. Pseudo-labels will differ "
+                "slightly from the native permutohedral lattice (tests pin "
+                ">=99% ir_label agreement). Build with `make -C native`.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return None
 
 
 def unary_from_labels(labels: np.ndarray, n_labels: int, gt_prob: float = 0.7) -> np.ndarray:
@@ -32,50 +66,164 @@ def unary_from_labels(labels: np.ndarray, n_labels: int, gt_prob: float = 0.7) -
     return u
 
 
-class _GaussianFilter:
-    """Symmetric-normalized spatial Gaussian filter."""
+class _PermutohedralLattice:
+    """Vectorized numpy permutohedral lattice (Adams et al. 2010) — the same
+    construction as ``native/tris_native.cpp::Permutohedral`` (splat onto the
+    enclosing simplex vertices, blur along the d+1 lattice axes, slice back),
+    so the fallback agrees with the native path to float rounding."""
+
+    def __init__(self, features: np.ndarray):
+        f = np.ascontiguousarray(features, np.float32)  # [n, d]
+        n, d = f.shape
+        self.n, self.d = n, d
+
+        inv_std_dev = np.sqrt(2.0 / 3.0) * (d + 1)
+        scale = (inv_std_dev / np.sqrt((np.arange(d) + 2.0) * (np.arange(d) + 1.0))).astype(np.float32)
+        cf = f * scale                                           # [n, d]
+
+        # embed into the sum-zero hyperplane: elevated[j] = sum_{i>=j} cf[i] - j*cf[j-1]
+        elevated = np.empty((n, d + 1), np.float32)
+        tail = np.concatenate([np.cumsum(cf[:, ::-1], axis=1)[:, ::-1],
+                               np.zeros((n, 1), np.float32)], axis=1)  # tail[:, j] = sum_{i>=j} cf[i]
+        elevated[:, 0] = tail[:, 0]
+        elevated[:, 1:] = tail[:, 1:] - np.arange(1, d + 1) * cf
+
+        # nearest remainder-0 lattice point (round half away from zero, like C++)
+        down = elevated / (d + 1)
+        rd = np.trunc(down + np.copysign(0.5, down)).astype(np.int32)
+        rem0 = rd * (d + 1)                                      # [n, d+1] int32
+        s = rd.sum(axis=1)
+
+        # rank differential: descending sort of (elevated - rem0), stable ties
+        diff = (elevated - rem0).astype(np.float64)
+        order = np.argsort(-diff, axis=1, kind="stable")
+        rank = np.empty((n, d + 1), np.int32)
+        np.put_along_axis(rank, order, np.broadcast_to(np.arange(d + 1, dtype=np.int32), (n, d + 1)), axis=1)
+        rank = rank + s[:, None]
+        low = rank < 0
+        high = rank > d
+        rank = rank + np.where(low, d + 1, 0) - np.where(high, d + 1, 0)
+        rem0 = rem0 + np.where(low, d + 1, 0) - np.where(high, d + 1, 0)
+
+        # barycentric coordinates
+        delta = ((elevated - rem0) / (d + 1)).astype(np.float32)
+        bary = np.zeros((n, d + 3), np.float32)
+        rows = np.repeat(np.arange(n), d + 1)
+        bidx = (d - rank).reshape(-1)
+        np.add.at(bary, (rows, bidx), delta.reshape(-1))
+        np.add.at(bary, (rows, bidx + 1), -delta.reshape(-1))
+        bary = bary[:, : d + 2]
+        bary[:, 0] += 1.0 + bary[:, d + 1]
+        self.bary = bary[:, : d + 1]                             # [n, d+1]
+
+        # simplex vertex keys: for vertex rm, coord i (i < d) is
+        # rem0[i] + (rm - (d+1) if rank[i] >= d+1-rm else rm)
+        rm = np.arange(d + 1, dtype=np.int32)
+        keys = rem0[:, None, :d] + np.where(
+            rank[:, None, :d] >= (d + 1 - rm)[None, :, None], rm[None, :, None] - (d + 1),
+            rm[None, :, None],
+        )                                                        # [n, d+1, d]
+        flat_keys = keys.reshape(-1, d).astype(np.int64)
+        # mixed-radix packing of key rows into one int64 (collision-free):
+        # per-dim ranges from the data, with a d+1 margin so blur-neighbor
+        # keys (key +- 1 or -+ d) still pack in range.
+        self._mins = flat_keys.min(axis=0) - (d + 1)
+        spans = flat_keys.max(axis=0) + (d + 1) - self._mins + 1
+        if float(np.prod(spans.astype(np.float64))) >= 2.0 ** 62:
+            raise OverflowError("lattice key range too large to pack")  # pragma: no cover
+        self._strides = np.concatenate([np.cumprod(spans[::-1])[::-1][1:], [1]]).astype(np.int64)
+        packed = self._pack(flat_keys)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        self.offsets = inv.reshape(n, d + 1).astype(np.int64)    # [n, d+1]
+        self.m = uniq.size
+        self._uniq = uniq
+
+        # one representative key row per unique lattice point (first occurrence)
+        first = np.full(self.m, inv.size, np.int64)
+        np.minimum.at(first, inv, np.arange(inv.size))
+        ukeys = flat_keys[first]                                 # [m, d]
+
+        n1 = np.empty((self.m, d + 1), np.int64)
+        n2 = np.empty((self.m, d + 1), np.int64)
+        for j in range(d + 1):
+            k1 = ukeys + 1
+            k2 = ukeys - 1
+            if j < d:
+                k1[:, j] = ukeys[:, j] - d
+                k2[:, j] = ukeys[:, j] + d
+            n1[:, j] = self._lookup(self._pack(k1))
+            n2[:, j] = self._lookup(self._pack(k2))
+        self.blur_n1, self.blur_n2 = n1, n2
+
+    def _pack(self, keys: np.ndarray) -> np.ndarray:
+        return (keys - self._mins) @ self._strides
+
+    def _lookup(self, packed: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._uniq, packed)
+        pos = np.clip(pos, 0, self.m - 1)
+        return np.where(self._uniq[pos] == packed, pos, -1)
+
+    def compute(self, x: np.ndarray) -> np.ndarray:
+        """Apply the (unnormalized) Gaussian kernel: x [n, vd] -> [n, vd]."""
+        vd = x.shape[1]
+        d = self.d
+        values = np.zeros((self.m + 1, vd), np.float32)  # slot 0 = missing-neighbor pad
+        contrib = (self.bary[:, :, None] * x[:, None, :]).reshape(-1, vd)
+        np.add.at(values, self.offsets.reshape(-1) + 1, contrib)
+        for j in range(d + 1):
+            v1 = values[self.blur_n1[:, j] + 1]
+            v2 = values[self.blur_n2[:, j] + 1]
+            nxt = np.zeros_like(values)
+            nxt[1:] = values[1:] + 0.5 * (v1 + v2)
+            values = nxt
+        alpha = 1.0 / (1.0 + 2.0 ** (-d))
+        sliced = values[self.offsets + 1]                        # [n, d+1, vd]
+        return alpha * np.einsum("nk,nkc->nc", self.bary, sliced)
+
+
+class _NormalizedLatticeFilter:
+    """densecrf-style symmetric-normalized lattice filter over [L, H, W] maps."""
+
+    def __init__(self, features: np.ndarray, shape):
+        self.shape = shape
+        self.lat = _PermutohedralLattice(features)
+        norm = self.lat.compute(np.ones((features.shape[0], 1), np.float32))[:, 0]
+        self.norm = 1.0 / np.sqrt(np.maximum(norm, 1e-20))
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        L = x.shape[0]
+        flat = x.reshape(L, -1).T.astype(np.float32) * self.norm[:, None]
+        out = self.lat.compute(flat) * self.norm[:, None]
+        return out.T.reshape(L, *self.shape)
+
+
+def _gaussian_features(h: int, w: int, sxy: float) -> np.ndarray:
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    return np.stack([xx.reshape(-1) / sxy, yy.reshape(-1) / sxy], axis=1)
+
+
+def _bilateral_features(image: np.ndarray, sxy: float, srgb: float) -> np.ndarray:
+    h, w = image.shape[:2]
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    rgb = image.reshape(-1, 3).astype(np.float32) / srgb
+    return np.concatenate(
+        [np.stack([xx.reshape(-1) / sxy, yy.reshape(-1) / sxy], axis=1), rgb], axis=1
+    )
+
+
+class _GaussianFilter(_NormalizedLatticeFilter):
+    """Spatial Gaussian term via the lattice (feature layout matches
+    tris_native.cpp::tris_dense_crf_multi)."""
 
     def __init__(self, shape, sxy: float):
-        self.sxy = sxy
-        ones = np.ones(shape, np.float32)
-        self.norm = 1.0 / np.sqrt(np.maximum(self._raw(ones), 1e-20))
-
-    def _raw(self, x: np.ndarray) -> np.ndarray:
-        # unnormalized Gaussian response: scale scipy's normalized filter back
-        # by the kernel mass (2*pi*s^2 per 2D); constant factors cancel in the
-        # symmetric normalization, so plain gaussian_filter suffices.
-        return ndimage.gaussian_filter(x, self.sxy, mode="constant", truncate=4.0)
-
-    def __call__(self, x: np.ndarray) -> np.ndarray:
-        # x: [L, H, W]
-        return np.stack([self.norm * self._raw(xi * self.norm) for xi in x])
+        super().__init__(_gaussian_features(shape[0], shape[1], sxy), shape)
 
 
-class _BilateralFilter:
-    """Bilateral-grid approximation of the (x, y, r, g, b) Gaussian kernel."""
+class _BilateralFilter(_NormalizedLatticeFilter):
+    """Bilateral (x, y, r, g, b) term via the lattice."""
 
     def __init__(self, image: np.ndarray, sxy: float, srgb: float):
-        h, w = image.shape[:2]
-        self.shape = (h, w)
-        yy, xx = np.mgrid[:h, :w]
-        gy = (yy / sxy).astype(np.float32)
-        gx = (xx / sxy).astype(np.float32)
-        gc = (image.astype(np.float32) / srgb)
-        coords = [gy, gx, gc[..., 0], gc[..., 1], gc[..., 2]]
-        self.dims = tuple(int(np.ceil(c.max())) + 3 for c in coords)
-        self.idx = [np.clip(np.round(c).astype(np.int64) + 1, 0, d - 1)
-                    for c, d in zip(coords, self.dims)]
-        self.flat_idx = np.ravel_multi_index(self.idx, self.dims).reshape(-1)
-        self.norm = 1.0 / np.sqrt(np.maximum(self._raw(np.ones((h, w), np.float32)), 1e-20))
-
-    def _raw(self, x: np.ndarray) -> np.ndarray:
-        grid = np.bincount(self.flat_idx, weights=x.reshape(-1),
-                           minlength=int(np.prod(self.dims))).reshape(self.dims)
-        grid = ndimage.gaussian_filter(grid, 1.0, mode="constant", truncate=3.0)
-        return grid.reshape(-1)[self.flat_idx].reshape(self.shape).astype(np.float32)
-
-    def __call__(self, x: np.ndarray) -> np.ndarray:
-        return np.stack([self.norm * self._raw(xi * self.norm) for xi in x])
+        super().__init__(_bilateral_features(image, sxy, srgb), image.shape[:2])
 
 
 def _softmax0(x: np.ndarray) -> np.ndarray:
@@ -102,15 +250,12 @@ def dense_crf_inference(
     h, w = image.shape[:2]
     L = unary.shape[0]
 
-    try:
-        from tris_tpu.native import crf as native_crf
-
+    native_crf = _native()
+    if native_crf is not None:
         return native_crf.dense_crf_inference(
             image, unary.reshape(L, h, w), n_iters,
             gaussian_sxy, gaussian_compat, bilateral_sxy, bilateral_srgb, bilateral_compat,
         )
-    except Exception:
-        pass
 
     u = unary.reshape(L, h, w).astype(np.float32)
     gauss = _GaussianFilter((h, w), gaussian_sxy)
@@ -140,15 +285,12 @@ def dense_crf_inference_multi(
     h, w = image.shape[:2]
     K, L = unaries.shape[:2]
 
-    try:
-        from tris_tpu.native import crf as native_crf
-
+    native_crf = _native()
+    if native_crf is not None:
         return native_crf.dense_crf_inference_multi(
             image, unaries.reshape(K, L, h, w), n_iters,
             gaussian_sxy, gaussian_compat, bilateral_sxy, bilateral_srgb, bilateral_compat,
         )
-    except Exception:
-        pass
 
     # scipy fallback: share the filters across the K problems
     u = unaries.reshape(K, L, h, w).astype(np.float32)
