@@ -165,10 +165,21 @@ def measure_train(args):
 
     model = build_reference_stage1(train=True)
     critic = build_reference_critic()
-    sys.path.insert(0, "/root/reference")
-    import importlib
 
-    ts1 = importlib.import_module("train_stage1")
+    # MaxLoss / clip_forward inlined from train_stage1.py:263-284 (importing
+    # the module would drag the full torchvision/tensorboard dataset stack in)
+    def clip_forward(clip_model, images, tokenized_text):
+        image_features = clip_model.encode_image(images)
+        _, text_features = clip_model.encode_text(tokenized_text)
+        image_features = image_features / image_features.norm(dim=-1, keepdim=True)
+        text_features = text_features / text_features.norm(dim=-1, keepdim=True)
+        N, C = image_features.size()
+        return torch.matmul(image_features.reshape(N, 1, C),
+                            text_features.reshape(N, C, 1))
+
+    def max_loss(x):
+        x = x.clamp(0.0001, 0.9999)
+        return -(torch.log(x)).mean()
 
     B, size, negs = args.batch, args.size, 3
     params = [p for p in model.parameters() if p.requires_grad]
@@ -183,7 +194,7 @@ def measure_train(args):
         cam_224 = F.interpolate(sig_out, (224, 224), mode="bilinear", align_corners=True)
         img_224 = F.interpolate(img, (224, 224), mode="bilinear", align_corners=True)
         fg = torch.stack([cam_224[i] * img_224[i] for i in range(B)], dim=0)
-        l1 = ts1.MaxLoss(ts1.clip_forward(critic, fg, ids))
+        l1 = max_loss(clip_forward(critic, fg, ids))
         image_features = critic.encode_image(fg)
         cbs = torch.tensor(0.0, requires_grad=True)
         for i_ in range(B):  # per-sample python loop, as the reference does
@@ -286,10 +297,15 @@ def measure_prms(args):
     import torch
     import torch.nn.functional as F
 
-    sys.path.insert(0, "/root/reference")
-    import importlib
+    # get_scores inlined from validate.py:120-127 (importing the module would
+    # drag the torchvision/cv2 eval stack in)
+    def get_scores(clip_model, fg_224_eval, word_id):
+        image_features = clip_model.encode_image(fg_224_eval)
+        _, text_features = clip_model.encode_text(word_id)
+        image_features = image_features / image_features.norm(dim=-1, keepdim=True)
+        text_features = text_features / text_features.norm(dim=-1, keepdim=True)
+        return image_features @ text_features.t()
 
-    val = importlib.import_module("validate")
     model = build_reference_stage1()
     critic = build_reference_critic()
     S = args.sents
@@ -305,7 +321,7 @@ def measure_prms(args):
             fg = torch.stack([cam_224[i] * img_224[i] for i in range(1)], dim=0)
             score = 0.0
             for i_ in range(S):
-                score += val.get_scores(critic, fg, ids[i_ : i_ + 1]).item()
+                score += get_scores(critic, fg, ids[i_ : i_ + 1]).item()
             if score > best[0]:
                 best = (score, j)
         return best

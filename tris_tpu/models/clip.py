@@ -167,6 +167,37 @@ class ModifiedResNet(nn.Module):
         return tuple(outs)
 
 
+class PatchEmbed(nn.Module):
+    """ViT patch embedding as an explicit space-to-depth + matmul.
+
+    Numerically the stride==patch_size VALID conv (kernel kept in the conv
+    layout [ps, ps, in, width] for checkpoint compatibility), but expressed as
+    ``[N*grid^2, ps*ps*3] @ [ps*ps*3, width]`` so BOTH directions run as dense
+    matmuls. As a conv, the 3-input-channel forward fills 3/128 MXU lanes and
+    — much worse — its input gradient is a transposed conv with 3 OUTPUT
+    channels. The bwd matters because stage-1's l1 loss backprops THROUGH the
+    frozen critic into the response map (train_stage1.py:327-340): the full
+    stage-1 train step measures 480 img/s/chip with the conv form vs
+    602 img/s/chip with this form on v5e (B=48, 320px; isolated microbenches
+    of the op are relay-noise-dominated — the A/B is at the whole-step level,
+    docs/PERF_NOTES.md round 3)."""
+
+    patch_size: int
+    width: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ps = self.patch_size
+        N, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (ps, ps, C, self.width), self.dtype,
+        )
+        p = x.astype(self.dtype).reshape(N, H // ps, ps, W // ps, ps, C)
+        p = p.transpose(0, 1, 3, 2, 4, 5).reshape(N, (H // ps) * (W // ps), ps * ps * C)
+        return p @ kernel.reshape(ps * ps * C, self.width)
+
+
 class VisionTransformer(nn.Module):
     """Plain CLIP ViT returning the projected CLS embedding (model.py:400-448).
     Used as the frozen critic (ViT-B/32) for the stage-1 losses and PRMS."""
@@ -183,12 +214,8 @@ class VisionTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         N = x.shape[0]
         dt = self.dtype
-        x = nn.Conv(
-            self.width, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), padding="VALID",
-            use_bias=False, dtype=dt, name="conv1",
-        )(x)
-        x = x.reshape(N, -1, self.width)  # [N, grid**2, width]
+        x = PatchEmbed(self.patch_size, self.width, dtype=dt, name="conv1")(x)
+        # [N, grid**2, width]
 
         cls = self.param("class_embedding", nn.initializers.normal(self.width ** -0.5), (self.width,), dt)
         pos = self.param(

@@ -71,26 +71,42 @@ def stage1_loss(
     fg224 = cam224 * img224
 
     img_feat = critic.apply(critic_vars, fg224, method="encode_image")
-    _, txt_feat = critic.apply(critic_vars, word_ids, method="encode_text")
+    neg_ids = batch.get("neg_word_ids")
+
+    # one fused text-tower pass for the positive expressions AND the CBS
+    # negatives: every op in encode_text is row-independent, so the fused
+    # [B*(1+S), L] batch is numerically identical to separate calls while
+    # filling the MXU better (the reference encodes them separately, and the
+    # negatives one sample at a time — train_stage1.py:340,345-353)
+    if neg_ids is not None:
+        S, L = neg_ids.shape[1], neg_ids.shape[2]
+        all_ids = jnp.concatenate([word_ids, neg_ids.reshape(B * S, L)], axis=0)
+        _, all_txt = critic.apply(critic_vars, all_ids, method="encode_text")
+        txt_feat, neg_txt = all_txt[:B], all_txt[B:]
+        l5 = losses.cbs_loss(img_feat, neg_txt.reshape(B, S, -1))
+    else:
+        _, txt_feat = critic.apply(critic_vars, word_ids, method="encode_text")
+        l5 = jnp.zeros((), img_feat.dtype)
     l1 = losses.max_loss(losses.clip_similarity(img_feat, txt_feat))
 
     l4 = losses.multilabel_soft_margin_loss(cls_out, jnp.eye(B, dtype=cls_out.dtype))
-
-    neg_ids = batch.get("neg_word_ids")
-    if neg_ids is not None:
-        S, L = neg_ids.shape[1], neg_ids.shape[2]
-        _, neg_txt = critic.apply(critic_vars, neg_ids.reshape(B * S, L), method="encode_text")
-        l5 = losses.cbs_loss(img_feat, neg_txt.reshape(B, S, -1))
-    else:
-        l5 = jnp.zeros((), img_feat.dtype)
 
     loss = weights.w1 * l1 + weights.w4 * l4 + weights.w5 * l5
     metrics = {"loss": loss, "l1": l1, "l4": l4, "l5": l5, "cls_fg": cls_fg.mean()}
     return loss, (mut["batch_stats"], metrics)
 
 
-def make_train_step(model, critic, weights: Stage1LossWeights = Stage1LossWeights(), donate: bool = True):
-    """Build the jitted stage-1 train step: (state, batch, critic_vars) -> (state, metrics)."""
+def make_train_step(model, critic, weights: Stage1LossWeights = Stage1LossWeights(), donate: bool = True,
+                    chain: int = 1):
+    """Build the jitted stage-1 train step: (state, batch, critic_vars) -> (state, metrics).
+
+    ``chain > 1`` runs that many optimizer steps on the SAME batch inside one
+    XLA program (a ``lax.scan`` over the train step; metrics are the last
+    step's). Used by bench.py to amortize per-dispatch host overhead — on a
+    directly-attached TPU host one dispatch costs microseconds and chain=1 is
+    equivalent, but through a relayed runtime dispatch can exceed the ~79 ms
+    device step time and a chained program measures the chip, not the link.
+    """
 
     def train_step(state: TrainState, batch: dict, critic_vars) -> tuple:
         grad_fn = jax.value_and_grad(stage1_loss, has_aux=True)
@@ -99,5 +115,15 @@ def make_train_step(model, critic, weights: Stage1LossWeights = Stage1LossWeight
         )
         state = state.apply_gradients(grads, new_stats)
         return state, metrics
+
+    if chain > 1:
+        def chained(state: TrainState, batch: dict, critic_vars) -> tuple:
+            def body(s, _):
+                return train_step(s, batch, critic_vars)
+
+            state, ms = jax.lax.scan(body, state, None, length=chain)
+            return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return jax.jit(chained, donate_argnums=(0,) if donate else ())
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
