@@ -152,3 +152,114 @@ def test_dense_crf_heals_noise(rng):
     assert out[40, 40] == 1 and out[5, 5] == 0
     assert out[10, 10] == 0 and out[48, 48] == 1
     assert abs(out.mean() - 0.25) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Fused JPEG decode + Pillow-exact resize + normalize (native/tris_jpeg.cpp)
+# ---------------------------------------------------------------------------
+
+jpeg_built = native.available() and native.jpeg_available()
+
+
+def _smooth_rgb(rng, h, w, gray=False):
+    """Blobby low-frequency image (JPEG-friendly, like a photo)."""
+    import scipy.ndimage as ndi
+
+    base = rng.random((h // 8 + 2, w // 8 + 2, 1 if gray else 3)) * 255
+    up = ndi.zoom(base, (8, 8, 1), order=1)[:h, :w]
+    return np.clip(up, 0, 255).astype(np.uint8)
+
+
+def _jpeg_bytes(arr, quality=90):
+    import io
+
+    from PIL import Image
+
+    img = Image.fromarray(arr[..., 0] if arr.shape[-1] == 1 else arr,
+                          "L" if arr.shape[-1] == 1 else "RGB")
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_resize_bilinear_matches_pil_exactly(rng):
+    from PIL import Image
+
+    for h, w, oh, ow in [(480, 640, 320, 320), (123, 77, 320, 320),
+                         (320, 320, 224, 224), (100, 100, 300, 300),
+                         (480, 640, 480, 320), (7, 9, 320, 320)]:
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        pil = np.asarray(Image.fromarray(arr).resize((ow, oh), Image.BILINEAR))
+        out = native.resize_bilinear_u8(arr, oh, ow)
+        np.testing.assert_array_equal(out, pil)
+    # single-channel path (mask-style)
+    m = rng.integers(0, 2, (41, 67), np.uint8) * 255
+    pil = np.asarray(Image.fromarray(m).resize((320, 320), Image.BILINEAR))
+    np.testing.assert_array_equal(native.resize_bilinear_u8(m, 320, 320), pil)
+
+
+@pytest.mark.skipif(not jpeg_built, reason="built without libjpeg")
+def test_jpeg_decode_matches_pil_exactly(rng):
+    import io
+
+    from PIL import Image
+
+    for h, w, gray, q in [(480, 640, False, 90), (427, 640, False, 75),
+                          (375, 500, True, 90), (123, 77, False, 95)]:
+        data = _jpeg_bytes(_smooth_rgb(rng, h, w, gray), quality=q)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        out = native.jpeg_decode(data)
+        assert out is not None and out.shape == (h, w, 3)
+        np.testing.assert_array_equal(out, pil)
+    assert native.jpeg_decode(b"not a jpeg") is None
+
+
+@pytest.mark.skipif(not jpeg_built, reason="built without libjpeg")
+def test_fused_decode_resize_norm_bitwise_matches_pil_chain(rng, tmp_path):
+    """The whole Loader image path: native fused call vs transforms.py's
+    PIL/numpy chain must be BIT-identical (exact mode)."""
+    from tris_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
+                                          image_to_array, load_image,
+                                          load_transformed)
+
+    for i, (h, w, gray) in enumerate([(480, 640, False), (375, 500, True), (99, 131, False)]):
+        path = str(tmp_path / f"img{i}.jpg")
+        with open(path, "wb") as f:
+            f.write(_jpeg_bytes(_smooth_rgb(rng, h, w, gray)))
+        ref = image_to_array(load_image(path), 320)
+        with open(path, "rb") as f:
+            res = native.jpeg_decode_resize_norm(f.read(), 320, IMAGENET_MEAN, IMAGENET_STD)
+        assert res is not None
+        arr, (oh, ow) = res
+        assert (oh, ow) == (h, w)
+        np.testing.assert_array_equal(arr, ref)  # bitwise
+        # and via the Loader-facing wrapper (native path active)
+        np.testing.assert_array_equal(load_transformed(path, 320), ref)
+
+
+@pytest.mark.skipif(not jpeg_built, reason="built without libjpeg")
+def test_fast_decode_close_to_exact(rng):
+    """DCT-scaled fast mode is approximate: quantify agreement with the exact
+    chain at the Loader's operating point (COCO-size -> 320px)."""
+    from tris_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    worst = 0.0
+    for _ in range(3):
+        data = _jpeg_bytes(_smooth_rgb(rng, 480, 640))
+        exact, _ = native.jpeg_decode_resize_norm(data, 320, IMAGENET_MEAN, IMAGENET_STD)
+        fast, _ = native.jpeg_decode_resize_norm(data, 320, IMAGENET_MEAN, IMAGENET_STD, fast=True)
+        # normalized units: 1/255 of the [0,1] scale is ~0.0175 after /std
+        worst = max(worst, float(np.abs(exact - fast).mean()))
+    assert worst < 0.05  # mean |d| well under 3 gray levels
+
+
+@pytest.mark.skipif(not jpeg_built, reason="built without libjpeg")
+def test_native_decode_disabled_by_env(rng, tmp_path, monkeypatch):
+    from tris_tpu.data import transforms
+
+    path = str(tmp_path / "img.jpg")
+    with open(path, "wb") as f:
+        f.write(_jpeg_bytes(_smooth_rgb(rng, 64, 64)))
+    monkeypatch.setenv("TRIS_NATIVE_DECODE", "0")
+    ref = transforms.image_to_array(transforms.load_image(path), 32)
+    np.testing.assert_array_equal(transforms.load_transformed(path, 32), ref)

@@ -233,7 +233,10 @@ def measure_train2(args):
 
     model = build_reference_stage2(train=True)
     teacher = copy.deepcopy(model)
-    teacher.eval()
+    # the reference's EMA copy stays in train mode (nn.Module default at
+    # EMA(model) time, train_stage2.py:258-260) and only train mode returns
+    # the 4 side outputs (model_stage2.py:130)
+    teacher.train()
     for p in teacher.parameters():
         p.requires_grad_(False)
 

@@ -89,7 +89,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help="path to OpenAI CLIP ViT-B-32 .pt for the frozen critic")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--seed", default=1234, type=int)
-    parser.add_argument("--eval_batch", default=8, type=int, help="refs per eval batch")
+    parser.add_argument("--eval_batch", default=8, type=int,
+                        help="refs per eval batch (throughput on a v5e chip "
+                             "keeps rising to ~128 for plain eval and peaks "
+                             "near 64 for --prms; the default stays small so "
+                             "bucketed shapes recompile rarely on tiny splits)")
     parser.add_argument("--multihost", action="store_true",
                         help="jax.distributed.initialize() for multi-host DP")
     parser.add_argument("--profile", default=None, type=str,

@@ -29,7 +29,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from tris_tpu.data.refer import REFER
-from tris_tpu.data.transforms import image_to_array, load_image, resize_mask_nearest
+from tris_tpu.data.transforms import load_transformed, resize_mask_nearest
 from tris_tpu.tokenizer import tokenize
 
 
@@ -101,7 +101,7 @@ class ReferSegDataset:
     def load_image_array(self, index: int) -> np.ndarray:
         info = self.ref_info(index)
         path = os.path.join(self.refer.IMAGE_DIR, info["img"]["file_name"])
-        return image_to_array(load_image(path), self.size)
+        return load_transformed(path, self.size)
 
     def numeric_image_id(self, index: int) -> int:
         """The reference's integer 'img_path' key (ReferDataset.py:231-232)."""

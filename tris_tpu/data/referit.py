@@ -21,7 +21,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from tris_tpu.data import mask_ops
-from tris_tpu.data.transforms import image_to_array, load_image
+from tris_tpu.data.transforms import image_to_array, load_image, load_transformed
 from tris_tpu.tokenizer import tokenize
 
 
@@ -64,9 +64,9 @@ class ReferItTrainDataset:
 
     def train_example(self, index: int, rng: np.random.Generator) -> dict:
         ref = self.refs[index]
-        img = load_image(os.path.join(self.img_folder, f"{ref['image_id']}.jpg"))
         out = {
-            "image": image_to_array(img, self.size),
+            "image": load_transformed(
+                os.path.join(self.img_folder, f"{ref['image_id']}.jpg"), self.size),
             "word_ids": _tokenize_query(ref["query"], self.max_tokens),
         }
         if self.negative_samples > 0:

@@ -12,6 +12,7 @@ eval/train pipelines (`/root/reference/dataset/transform.py:13-63`).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -23,6 +24,40 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 def load_image(path: str) -> Image.Image:
     return Image.open(path).convert("RGB")
+
+
+def _native_jpeg():
+    """The native fused decoder when built with libjpeg, else None.
+
+    TRIS_NATIVE_DECODE=0 disables it; TRIS_FAST_DECODE=1 additionally enables
+    DCT-domain scaled decode (approximate — the default native path is
+    bit-identical to the PIL chain, test-pinned in tests/test_native.py)."""
+    if os.environ.get("TRIS_NATIVE_DECODE", "1") != "1":
+        return None
+    try:
+        from tris_tpu import native
+        return native if native.jpeg_available() else None
+    except Exception:
+        return None
+
+
+def load_transformed(path: str, size: int, normalize: bool = True) -> np.ndarray:
+    """``image_to_array(load_image(path), size)`` as one fused native call
+    when available (JPEG files only); PIL/numpy fallback otherwise. The two
+    paths are bit-identical (test-pinned)."""
+    nat = _native_jpeg()
+    if nat is not None and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            mean, std = (IMAGENET_MEAN, IMAGENET_STD) if normalize else (None, None)
+            fast = os.environ.get("TRIS_FAST_DECODE", "0") == "1"
+            res = nat.jpeg_decode_resize_norm(data, size, mean, std, fast=fast)
+            if res is not None:
+                return res[0]
+        except Exception:
+            pass  # unreadable/corrupt: let the PIL path raise the real error
+    return image_to_array(load_image(path), size, normalize=normalize)
 
 
 def image_to_array(img: Image.Image, size: int, normalize: bool = True) -> np.ndarray:

@@ -37,6 +37,18 @@ def _lib() -> ctypes.CDLL:
     lib.tris_connected_components.restype = i
     lib.tris_dense_crf.argtypes = [u8p, f32p, i, i, i, i, f, f, f, f, f, f32p]
     lib.tris_dense_crf_multi.argtypes = [u8p, f32p, i, i, i, i, i, f, f, f, f, f, f32p]
+    lib.tris_jpeg_available.restype = i
+    lib.tris_resize_bilinear_u8.argtypes = [u8p, i, i, i, i, i, u8p]
+    lib.tris_jpeg_probe.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.POINTER(ctypes.c_int32),
+                                    ctypes.POINTER(ctypes.c_int32)]
+    lib.tris_jpeg_probe.restype = i
+    lib.tris_jpeg_decode_u8.argtypes = [ctypes.c_char_p, ctypes.c_size_t, u8p]
+    lib.tris_jpeg_decode_u8.restype = i
+    lib.tris_jpeg_decode_resize_norm.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, i,
+        ctypes.c_void_p, ctypes.c_void_p, i, f32p, i32p]
+    lib.tris_jpeg_decode_resize_norm.restype = i
     return lib
 
 
@@ -78,6 +90,65 @@ def connected_components(mask: np.ndarray):
     labels = np.zeros((h, w), np.int32)
     n = _lib().tris_connected_components(mask, h, w, labels)
     return labels, int(n)
+
+
+def jpeg_available() -> bool:
+    """True when the library was built against libjpeg (native/Makefile)."""
+    try:
+        return bool(_lib().tris_jpeg_available())
+    except OSError:
+        return False
+
+
+def resize_bilinear_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Pillow-exact bilinear resize of a uint8 [H, W] or [H, W, C] array
+    (byte-identical to ``Image.fromarray(img).resize((ow, oh), BILINEAR)``,
+    test-pinned)."""
+    squeeze = img.ndim == 2
+    img = np.ascontiguousarray(img[..., None] if squeeze else img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((oh, ow, c), np.uint8)
+    _lib().tris_resize_bilinear_u8(img, h, w, c, oh, ow, out)
+    return out[..., 0] if squeeze else out
+
+
+def jpeg_decode(data: bytes):
+    """JPEG bytes -> RGB uint8 [H, W, 3], byte-identical to
+    ``Image.open(...).convert("RGB")`` for RGB/grayscale JPEGs (test-pinned).
+    Returns None when the file needs the PIL fallback (CMYK, corrupt, ...)."""
+    lib = _lib()
+    h, w = ctypes.c_int32(), ctypes.c_int32()
+    if lib.tris_jpeg_probe(data, len(data), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.tris_jpeg_decode_u8(data, len(data), out) != 0:
+        return None
+    return out
+
+
+def jpeg_decode_resize_norm(data: bytes, size: int, mean=None, std=None,
+                            fast: bool = False):
+    """Fused JPEG decode + square bilinear resize + normalize.
+
+    Returns (float32 [size, size, 3], (orig_h, orig_w)) or None when the
+    file needs the PIL fallback. With ``fast=False`` the result is
+    bit-identical to the PIL/numpy chain in data/transforms.py (test-pinned);
+    ``fast=True`` lets libjpeg reconstruct at a reduced DCT scale first
+    (approximate — see tests/test_native.py for the measured agreement)."""
+    lib = _lib()
+    out = np.empty((size, size, 3), np.float32)
+    hw = np.zeros(2, np.int32)
+    if mean is not None:
+        mean = np.ascontiguousarray(mean, np.float32)
+        std = np.ascontiguousarray(std, np.float32)
+        mp, sp = mean.ctypes.data, std.ctypes.data
+    else:
+        mp, sp = None, None
+    rc = lib.tris_jpeg_decode_resize_norm(data, len(data), size, mp, sp,
+                                          int(fast), out, hw)
+    if rc != 0:
+        return None
+    return out, (int(hw[0]), int(hw[1]))
 
 
 class crf:

@@ -62,7 +62,21 @@ def image_path(cfg: PseudoConfig, name: str) -> str:
 
 
 def load_raw_image(cfg: PseudoConfig, name: str) -> np.ndarray:
-    img = np.asarray(Image.open(image_path(cfg, name)))
+    path = image_path(cfg, name)
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from tris_tpu.data.transforms import _native_jpeg
+
+        nat = _native_jpeg()  # honors TRIS_NATIVE_DECODE=0
+        if nat is not None:
+            try:  # grayscale replicates to 3ch in-library, same bytes as the
+                # stack below (test-pinned in test_native.py)
+                with open(path, "rb") as f:
+                    out = nat.jpeg_decode(f.read())
+                if out is not None:
+                    return out
+            except Exception:
+                pass
+    img = np.asarray(Image.open(path))
     if img.ndim == 2:  # grayscale -> 3ch (voc12/dataloader.py:164-166)
         img = np.stack([img] * 3, axis=-1)
     return img
