@@ -81,3 +81,110 @@ def test_metric_allgather_path_single_process():
     acc.merge_across_processes(force=True)
     after = acc.results()
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism (parallel/tp.py): 2D (data, model) mesh
+# ---------------------------------------------------------------------------
+
+def _tiny_stage1():
+    import jax.numpy as jnp
+
+    from tris_tpu.models.clip import CLIP, CLIPConfig
+    from tris_tpu.models.stage1 import Stage1Config, TRISStage1
+
+    tiny_rn = CLIPConfig(
+        embed_dim=64, image_resolution=64, vision_layers=(1, 1, 1, 1), vision_width=16,
+        vision_patch_size=None, transformer_width=32, transformer_heads=4,
+        transformer_layers=2, txt_length=20,
+    )
+    tiny_vit = CLIPConfig(
+        embed_dim=64, image_resolution=64, vision_layers=2, vision_width=64,
+        vision_patch_size=16, transformer_width=32, transformer_heads=4,
+        transformer_layers=2, txt_length=20,
+    )
+    return TRISStage1(Stage1Config(hidden_dim=32, clip_override=tiny_rn)), CLIP(tiny_vit)
+
+
+def _tokens(batch):
+    ids = np.zeros((batch, 20), np.int32)
+    ids[:, 0], ids[:, 1], ids[:, 2] = 49406, 786, 49407
+    return ids
+
+
+def test_tp_leaf_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from tris_tpu.parallel.tp import leaf_spec
+
+    conv = np.zeros((3, 3, 16, 64))
+    assert leaf_spec(conv, 4) == P(None, None, None, "model")
+    dense = np.zeros((32, 128))
+    assert leaf_spec(dense, 4) == P(None, "model")
+    odd_out = np.zeros((128, 30))  # out not divisible -> shard in
+    assert leaf_spec(odd_out, 4) == P("model", None)
+    bias = np.zeros((64,))
+    assert leaf_spec(bias, 4) == P()
+    scalar = np.zeros(())
+    assert leaf_spec(scalar, 4) == P()
+
+
+def test_tp_train_step_matches_single_device():
+    """One stage-1 train step on a (dp=2, tp=4) mesh == the unsharded step:
+    same loss and same updated params (up to collective reduction order)."""
+    import jax.numpy as jnp
+
+    from tris_tpu.parallel.mesh import shard_batch
+    from tris_tpu.parallel.tp import MODEL_AXIS, create_mesh_2d, shard_tree
+    from tris_tpu.train.stage1 import make_train_step
+    from tris_tpu.train.state import create_train_state
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+
+    model, critic = _tiny_stage1()
+    B, S, size = 4, 2, 64
+    key = jax.random.PRNGKey(0)
+    image = jnp.zeros((B, size, size, 3), jnp.float32)
+    word_ids = jnp.asarray(_tokens(B))
+    variables = model.init(key, image, word_ids, train=True)
+    critic_vars = critic.init(key, image, word_ids)
+    batch = {
+        "image": np.random.default_rng(0).standard_normal((B, size, size, 3)).astype(np.float32),
+        "word_ids": _tokens(B),
+        "neg_word_ids": np.broadcast_to(_tokens(B)[:, None], (B, S, 20)).copy(),
+    }
+
+    def one_step(mesh):
+        state = create_train_state(model, variables, total_steps=100, stage="stage1")
+        b = dict(batch)
+        if mesh is not None:
+            state = shard_tree(state, mesh)
+            cv = shard_tree(critic_vars, mesh)
+            b = shard_batch(mesh, b)
+        else:
+            cv = critic_vars
+        step = make_train_step(model, critic, donate=False)
+        new_state, metrics = step(state, b, cv)
+        return float(metrics["loss"]), new_state
+
+    loss_ref, state_ref = one_step(None)
+    mesh = create_mesh_2d(2, 4)
+    assert mesh.shape == {"data": 2, MODEL_AXIS: 4}
+    loss_tp, state_tp = one_step(mesh)
+
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=2e-4)
+    # params updated identically; spot-check across several leaves
+    leaves_ref = jax.tree_util.tree_leaves(state_ref.params)
+    leaves_tp = jax.tree_util.tree_leaves(state_tp.params)
+    assert len(leaves_ref) == len(leaves_tp)
+    for a, b_ in zip(leaves_ref[::7], leaves_tp[::7]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-3)
+    # at least one big kernel is actually sharded over the model axis
+    from jax.sharding import PartitionSpec as P
+
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(state_tp.params)
+        if getattr(l.sharding, "spec", P()) != P()
+    ]
+    assert sharded, "no parameter ended up model-sharded"

@@ -26,7 +26,8 @@ from tris_tpu.cli.common import (
 )
 from tris_tpu.config import get_parser
 from tris_tpu.eval.validate import validate
-from tris_tpu.parallel.mesh import create_mesh_for_batch, shard_batch
+from tris_tpu.parallel.mesh import shard_batch
+from tris_tpu.parallel.tp import shard_tree, training_mesh
 from tris_tpu.train.stage1 import Stage1LossWeights, make_train_step
 from tris_tpu.train.state import create_train_state
 from tris_tpu.utils.logging import MetricsWriter, create_logger
@@ -37,7 +38,7 @@ def main(args):
         jax.distributed.initialize()  # NCCL init_process_group equivalent
     logger = create_logger(jax.process_index())
     writer = MetricsWriter(args.board_folder)
-    mesh = create_mesh_for_batch(args.batch_size)
+    mesh = training_mesh(args.batch_size, getattr(args, "tp", 1))
 
     model, variables = build_stage1(args, train=True)
     critic, critic_vars = build_critic(args)
@@ -80,7 +81,13 @@ def main(args):
         logger.info(f"resumed from {resume_train_ckpt} at epoch {start_epoch}")
     weights = Stage1LossWeights(w1=args.w1, w4=args.w4, w5=args.w5)
     step_fn = make_train_step(model, critic, weights)
-    critic_vars = jax.device_put(critic_vars)
+    if getattr(args, "tp", 1) > 1:
+        # annotate params/moments/critic with 'model'-axis shardings; GSPMD
+        # propagates the tensor-parallel layout through the jitted step
+        state = shard_tree(state, mesh)
+        critic_vars = shard_tree(critic_vars, mesh)
+    else:
+        critic_vars = jax.device_put(critic_vars)
 
     keeper = BestCheckpointKeeper(args.output or "./output")
     iteration = start_epoch * steps_per_epoch

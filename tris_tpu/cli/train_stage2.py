@@ -16,7 +16,8 @@ from tris_tpu.ckpt.io import BestCheckpointKeeper, load_params_only
 from tris_tpu.cli.common import build_loaders, build_stage2, load_pretrained
 from tris_tpu.config import get_parser
 from tris_tpu.eval.validate import validate
-from tris_tpu.parallel.mesh import create_mesh_for_batch, shard_batch
+from tris_tpu.parallel.mesh import shard_batch
+from tris_tpu.parallel.tp import shard_tree, training_mesh
 from tris_tpu.train.stage2 import Stage2TrainConfig, make_train_step
 from tris_tpu.train.state import create_train_state
 from tris_tpu.utils.logging import MetricsWriter, create_logger
@@ -27,7 +28,7 @@ def main(args):
         jax.distributed.initialize()
     logger = create_logger(jax.process_index())
     writer = MetricsWriter(args.board_folder)
-    mesh = create_mesh_for_batch(args.batch_size)
+    mesh = training_mesh(args.batch_size, getattr(args, "tp", 1))
 
     model, variables = build_stage2(args, train=True)
     resume_train_ckpt = None
@@ -74,6 +75,9 @@ def main(args):
         logger.info(f"resumed from {resume_train_ckpt} at epoch {start_epoch}")
     tcfg = Stage2TrainConfig(use_ema=args.model_ema, consistency=args.consistency_type)
     step_fn = make_train_step(model, tcfg)
+    if getattr(args, "tp", 1) > 1:
+        # 'model'-axis shardings on params/moments/EMA; GSPMD propagates
+        state = shard_tree(state, mesh)
 
     keeper = BestCheckpointKeeper(args.output or "./output")
     iteration = start_epoch * steps_per_epoch

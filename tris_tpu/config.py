@@ -96,6 +96,13 @@ def get_parser() -> argparse.ArgumentParser:
                              "bucketed shapes recompile rarely on tiny splits)")
     parser.add_argument("--multihost", action="store_true",
                         help="jax.distributed.initialize() for multi-host DP")
+    parser.add_argument("--tp", default=1, type=int,
+                        help="tensor-parallel size: shard parameters over a "
+                             "'model' mesh axis of this many chips (GSPMD "
+                             "inserts the collectives); chips are arranged "
+                             "[device_count // tp, tp] as (data, model). "
+                             "Not needed at this model's size — use it to "
+                             "fit bigger backbones or cut optimizer memory")
     parser.add_argument("--profile", default=None, type=str,
                         help="capture a jax.profiler trace of steps 10-20 to this dir")
     parser.add_argument("--host_threads", default=0, type=int,

@@ -136,6 +136,102 @@ def to_transition_matrix(dense_aff: jnp.ndarray, beta: float, times: int) -> jnp
     return trans
 
 
+def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
+                           H: int, W: int, woff: int) -> jnp.ndarray:
+    """Dense symmetric [HW, HW] affinity (unit diagonal) without any scatter.
+
+    ``aff_grids``: [n_dirs, ch, cw] per-direction affinities on the padded
+    src-window grid (src at window (r, c') = cropped pixel (r, c' - woff));
+    ``dirs``: [n_dirs, 2] int (dy, dx) with dy >= 0 and dy*W + dx > 0.
+
+    The affinity matrix is banded: direction (dy, dx) only writes the
+    constant flat-index offset ``o = dy*W + dx`` (and its mirror ``-o``).
+    Each band column is assembled with static slices/pads (the valid pairs
+    of a direction form a rectangle in the cropped grid), stacked into a
+    [width, HW] array, and expanded to dense with one pad+reshape: element
+    (i, k) of a zero-padded [HW, HW+1] band lands at flat ``i*(HW+1) + k``,
+    which scans the per-row diagonals of the [HW, HW] matrix shifted by one
+    per row — so a single flat slice materializes the dense matrix. This
+    replaces a 2x ~600k-element scatter into a padded [~18k, ~18k] buffer +
+    crop (measured 3x the cost of the 8 matmul squarings) with pure copies.
+    """
+    n = H * W
+    max_off = max(int(dy) * W + int(dx) for dy, dx in dirs)
+    width = 2 * max_off + 1
+    assert width <= n + 1, (width, n)  # caller guards (banded_ok)
+
+    pieces = {}  # band row (= offset + max_off) -> [HW] values
+    for d, (dy, dx) in enumerate(dirs):
+        dy, dx = int(dy), int(dx)
+        off = dy * W + dx
+        c0, c1 = max(0, -dx), min(W, W - dx)
+        r1 = H - dy
+        vals = aff_grids[d, 0:r1, c0 + woff:c1 + woff]
+        # dense[src, dst] at offset +off: value sits at row src = (r, c')
+        pieces[off + max_off] = jnp.pad(vals, ((0, H - r1), (c0, W - c1))).reshape(n)
+        # dense[dst, src] at offset -off: value sits at row dst = (r+dy, c'+dx)
+        pieces[-off + max_off] = jnp.pad(
+            vals, ((dy, 0), (c0 + dx, W - c1 - dx))).reshape(n)
+    pieces[max_off] = jnp.ones((n,), aff_grids.dtype)  # unit diagonal
+
+    # band rows in offset order, zero rows in the gaps, as ONE concat
+    rows, prev = [], 0
+    for k in sorted(pieces):
+        if k > prev:
+            rows.append(jnp.zeros((k - prev, n), aff_grids.dtype))
+        rows.append(pieces[k][None])
+        prev = k + 1
+    if prev < width:
+        rows.append(jnp.zeros((width - prev, n), aff_grids.dtype))
+    band = jnp.concatenate(rows, axis=0).T           # [HW, width]
+
+    flat = jnp.pad(band, ((0, 0), (0, n + 1 - width))).reshape(-1)
+    return jax.lax.dynamic_slice(flat, (max_off,), (n * n,)).reshape(n, n)
+
+
+@functools.lru_cache(maxsize=16)
+def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int):
+    """One jitted program for the whole walk at a given bucket shape: edge ->
+    path-max affinities -> banded dense build -> A^beta column-normalized ->
+    exp_times squarings -> [K, HW] @ trans. Cached per (radius, H, W, beta,
+    exp_times); jit itself specializes over K."""
+    hor, ver = W + 2 * radius, H + radius
+    pi = _padded_path_index(radius, (ver, hor))
+    ch = ver - pi.radius_floor
+    cw = hor - 2 * pi.radius_floor
+    woff = radius - pi.radius_floor
+    dirs = np.asarray(pi.search_dst, np.int64)
+    banded_ok = 2 * max(int(dy) * W + int(dx) for dy, dx in dirs) + 1 <= H * W + 1
+
+    @jax.jit
+    def run(x, edge):
+        K = x.shape[0]
+        edge_padded = jnp.pad(edge, ((0, radius), (radius, radius)),
+                              constant_values=1.0)
+        if banded_ok:
+            grids = []
+            for ind in pi.path_indices:
+                gathered = edge_padded.reshape(-1)[jnp.asarray(ind)]
+                grids.append(1.0 - gathered.max(axis=1))  # [n_paths, n_pairs]
+            aff_grids = jnp.concatenate(grids, axis=0).reshape(-1, ch, cw)
+            dense = _banded_dense_affinity(aff_grids, dirs, H, W, woff)
+        else:
+            # tiny/degenerate grids where an offset spans multiple rows:
+            # scatter build at padded size + crop (the original formulation)
+            aff = edge_to_affinity(edge_padded.reshape(1, -1), pi.path_indices)[0]
+            dense = affinity_to_dense(aff, pi.src_indices, pi.dst_indices, ver * hor)
+            dense = dense.reshape(ver, hor, ver, hor)
+            dense = dense[:-radius, radius:-radius, :-radius, radius:-radius]
+            dense = dense.reshape(H * W, H * W)
+
+        trans = to_transition_matrix(dense, beta, exp_times)
+        x_masked = x * (1.0 - edge)[None]
+        rw = x_masked.reshape(K, H * W) @ trans
+        return rw.reshape(K, H, W)
+
+    return run
+
+
 def propagate_to_edge(
     x: jnp.ndarray,
     edge: jnp.ndarray,
@@ -148,23 +244,13 @@ def propagate_to_edge(
     x: [K, H, W] per-instance score maps; edge: [H, W] boundary probability.
     Returns [K, H, W]. Matches indexing.py:141-166: the edge map is padded
     with 1.0 (right/left by radius, bottom by radius), the affinity is built
-    at the padded size, then cropped back before the matmul chain.
+    at the padded size, then cropped back before the matmul chain. The whole
+    walk runs as ONE jitted program per (radius, shape), with the dense
+    affinity assembled band-wise instead of by scatter
+    (see _banded_dense_affinity).
     """
     K, H, W = x.shape
-    hor, ver = W + 2 * radius, H + radius
-    pi = _padded_path_index(radius, (ver, hor))
-
-    edge_padded = jnp.pad(edge, ((0, radius), (radius, radius)), constant_values=1.0)
-    aff = edge_to_affinity(edge_padded.reshape(1, -1), pi.path_indices)[0]
-    dense = affinity_to_dense(aff, pi.src_indices, pi.dst_indices, ver * hor)
-    dense = dense.reshape(ver, hor, ver, hor)
-    dense = dense[:-radius, radius:-radius, :-radius, radius:-radius]
-    dense = dense.reshape(H * W, H * W)
-
-    trans = to_transition_matrix(dense, beta, exp_times)
-    x_masked = x * (1.0 - edge)[None]
-    rw = x_masked.reshape(K, H * W) @ trans
-    return rw.reshape(K, H, W)
+    return _walk_program(int(radius), H, W, float(beta), int(exp_times))(x, edge)
 
 
 @functools.lru_cache(maxsize=8)

@@ -19,6 +19,7 @@ Re-design of `/root/reference/IRNet/net/resnet50_irn.py` and
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import Optional, Tuple
 
 import jax
@@ -202,13 +203,31 @@ def affinity_displacement_losses(
     return pos_aff_loss, neg_aff_loss, dp_fg_loss, dp_bg_loss
 
 
-def edge_displacement_infer(model: IRNet, variables, image: jnp.ndarray, stride: int = 4):
+def edge_displacement_infer(model: IRNet, variables, image: jnp.ndarray, stride: int = 4,
+                            jit: bool = True):
     """Inference head (resnet50_irn.py:225-243): feed [image, hflip(image)],
     average edge logits (flipping the second back), sigmoid; displacement from
     the unflipped pass with mean-shift applied.
 
     image: [H, W, 3] -> (edge [h4, w4], disp [2, h4, w4])
+
+    ``jit=True`` (default) runs the whole head as one program, compiled once
+    per distinct image shape (flax modules hash by config, so the cache is
+    shared across calls). Pass ``jit=False`` to trace nothing — e.g. when a
+    dataset has so many distinct image sizes that per-shape compiles would
+    dominate (the op-by-op path costs only dispatch overhead).
     """
+    if jit:
+        return _edge_disp_jit(model, stride)(variables, image)
+    return _edge_disp_impl(model, variables, image, stride)
+
+
+@_lru_cache(maxsize=8)
+def _edge_disp_jit(model: IRNet, stride: int):
+    return jax.jit(lambda variables, image: _edge_disp_impl(model, variables, image, stride))
+
+
+def _edge_disp_impl(model: IRNet, variables, image: jnp.ndarray, stride: int):
     H, W = image.shape[0], image.shape[1]
     fh, fw = (H - 1) // stride + 1, (W - 1) // stride + 1
     batch = jnp.stack([image, image[:, ::-1]], axis=0)

@@ -229,7 +229,12 @@ def run_make_ins_seg(cfg: PseudoConfig, variables=None, names: Optional[List[str
             from tris_tpu.pseudo.aug import multi_scale_flip_stacks
 
             img = normalize_image(multi_scale_flip_stacks(raw, cfg.scales)[0][0])
-        edge, disp = edge_displacement_infer(model, variables, jnp.asarray(img))
+        # jit compiles once per distinct image shape (worth it: COCO-style
+        # sets have few distinct sizes, each reused hundreds of times);
+        # TRIS_IRN_JIT=0 falls back to op-by-op for many-sized datasets
+        edge, disp = edge_displacement_infer(
+            model, variables, jnp.asarray(img),
+            jit=os.environ.get("TRIS_IRN_JIT", "1") == "1")
         cam = np.asarray(np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True),
                          np.float32)
         detected = make_instance_masks(
