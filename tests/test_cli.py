@@ -133,3 +133,26 @@ def test_demo_cli(fake_root, tiny_backbones, tmp_path, monkeypatch):
     cam = demo.main(args)
     assert cam.shape == (48, 64)
     assert os.path.exists(tmp_path / "figs" / "demo_(the thing).png")
+
+
+def test_train_stage1_tp_e2e(fake_root, tiny_backbones, tmp_path):
+    """--tp 2 on the 8-virtual-device mesh: the tensor-parallel train loop
+    runs end-to-end and writes a best checkpoint (parallel/tp.py wiring)."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs a multi-device mesh")
+    from tris_tpu.cli import train_stage1
+
+    root, _ = fake_root
+    out = str(tmp_path / "out_tp")
+    args = _args([
+        "--dataset", "refcoco", "--splitBy", "unc", "--refer_data_root", root,
+        "--batch_size", "4", "--size", "64", "--epoch", "1",
+        "--negative_samples", "2", "--test_split", "val", "--output", out,
+        "--print-freq", "1", "--eval_batch", "2", "--hidden_dim", "32",
+        "--tp", "2",
+    ])
+    train_stage1.main(args)
+    ckpts = [f for f in os.listdir(out) if f.endswith(".msgpack")]
+    assert any("best" in c for c in ckpts)
