@@ -13,6 +13,11 @@ measured numbers of the OTHER modes (from BENCH_EXTRA.json, refreshed by
 ``TRIS_BENCH_MODE=all`` or any single-mode run) so one driver run pins the
 whole mode matrix, not just inference.
 
+Every mode runs a SINGLE-device program (no mesh), so the reported
+"*/sec/chip" is that one device's rate — other chips of a multi-chip host
+idle and are deliberately not averaged in. Multi-chip scaling is exercised
+by __graft_entry__.dryrun_multichip and the mesh/CLI tests instead.
+
 Env knobs:
   TRIS_BENCH_BATCH   (default 128; train modes 48; eval 128, prms 64)
   TRIS_BENCH_SIZE    (default 320; insseg 512)
@@ -99,6 +104,12 @@ def _update_extra(results: dict) -> None:
     stamp = time.strftime("%Y-%m-%d")
     for mode, res in results.items():
         data[mode] = dict(res, measured=stamp)
+    # refresh ratios of modes NOT re-measured this run: a baseline anchor may
+    # have been recorded after the mode's last measurement (vs_baseline is
+    # pure arithmetic on the recorded value and the anchor)
+    for mode, res in data.items():
+        if mode not in results and res.get("vs_baseline") is None and "value" in res:
+            res["vs_baseline"] = _vs_baseline(mode, res["value"])
     with open(EXTRA_PATH, "w") as f:
         json.dump(data, f, indent=2)
         f.write("\n")
@@ -216,7 +227,7 @@ def bench_infer() -> dict:
     float(acc)  # forces completion of every iteration
     dt = time.perf_counter() - t0
 
-    ips_per_chip = batch * iters / dt / jax.device_count()
+    ips_per_chip = batch * iters / dt
     return _result("infer", "stage1_rn50_320px_inference_throughput_per_chip",
                    ips_per_chip, "images/sec/chip")
 
@@ -265,7 +276,7 @@ def bench_train() -> dict:
     float(m["loss"])  # forces completion of the chain
     dt = time.perf_counter() - t0
     return _result("train", "stage1_rn50_320px_train_step_throughput_per_chip",
-                   batch * iters * chain / dt / jax.device_count(), "images/sec/chip")
+                   batch * iters * chain / dt, "images/sec/chip")
 
 
 def bench_train2() -> dict:
@@ -310,7 +321,7 @@ def bench_train2() -> dict:
     float(m["loss"])  # forces completion of the chain
     dt = time.perf_counter() - t0
     return _result("train2", "stage2_rn50_320px_train_step_throughput_per_chip",
-                   batch * iters / dt / jax.device_count(), "images/sec/chip")
+                   batch * iters / dt, "images/sec/chip")
 
 
 def bench_eval() -> dict:
@@ -367,7 +378,7 @@ def bench_eval() -> dict:
             float(run(variables, images, ids))
         dt = _best_of(lambda: _chain_loop(run, (variables, images, ids), iters))
         return _result("eval", f"eval_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
-                       batch * chain * iters / dt / jax.device_count(), "refs/sec/chip")
+                       batch * chain * iters / dt, "refs/sec/chip")
 
     @jax.jit
     def chk(acc, out):
@@ -382,7 +393,7 @@ def bench_eval() -> dict:
     float(acc)
     dt = time.perf_counter() - t0
     return _result("eval", f"eval_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
-                   batch * iters / dt / jax.device_count(), "refs/sec/chip")
+                   batch * iters / dt, "refs/sec/chip")
 
 
 def bench_prms() -> dict:
@@ -441,7 +452,7 @@ def bench_prms() -> dict:
         dt = _best_of(
             lambda: _chain_loop(run, (variables, critic_vars, images, ids, valid), iters))
         return _result("prms", f"prms_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
-                       batch * chain * iters / dt / jax.device_count(), "refs/sec/chip")
+                       batch * chain * iters / dt, "refs/sec/chip")
 
     best, cams, scores = forward(variables, critic_vars, image, ids, valid)
     float(scores.sum())  # compile + sync
@@ -453,7 +464,7 @@ def bench_prms() -> dict:
     float(acc)
     dt = time.perf_counter() - t0
     return _result("prms", f"prms_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
-                   batch * iters / dt / jax.device_count(), "refs/sec/chip")
+                   batch * iters / dt, "refs/sec/chip")
 
 
 def bench_insseg() -> dict:
@@ -508,7 +519,7 @@ def bench_insseg() -> dict:
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
     return _result("insseg", f"insseg_irnet_{size}px_images_per_sec_per_chip",
-                   iters / dt / jax.device_count(), "images/sec/chip")
+                   iters / dt, "images/sec/chip")
 
 
 if __name__ == "__main__":

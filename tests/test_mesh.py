@@ -129,6 +129,24 @@ def test_tp_leaf_spec_rules():
     assert leaf_spec(scalar, 4) == P()
 
 
+def test_training_mesh_tp_validates_global_batch(monkeypatch):
+    """batch_size is PER-PROCESS: a 2-process run whose per-process batch
+    does not divide the global dp size, but whose GLOBAL batch does, must be
+    accepted (e.g. 2 hosts x 8 devices, tp=2 -> dp=8, batch 12 -> global 24)."""
+    import jax
+
+    import tris_tpu.parallel.tp as tp
+
+    monkeypatch.setattr(jax, "device_count", lambda: 16)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # don't build the (unbuildable, 16 > 8 devices) mesh — just validation
+    monkeypatch.setattr(tp, "create_mesh_2d", lambda dp, t: ("mesh", dp, t))
+    assert tp.training_mesh(12, tp=2) == ("mesh", 8, 2)
+
+    with pytest.raises(ValueError, match="global batch"):
+        tp.training_mesh(13, tp=2)  # global 26 % dp 8 != 0
+
+
 def test_tp_train_step_matches_single_device():
     """One stage-1 train step on a (dp=2, tp=4) mesh == the unsharded step:
     same loss and same updated params (up to collective reduction order)."""

@@ -131,7 +131,7 @@ def test_crf_fallback_warns_once(monkeypatch):
         _warnings.simplefilter("always")
         assert crf_mod._native() is None
         assert crf_mod._native() is None
-    msgs = [r for r in rec if "scipy bilateral-grid" in str(r.message)]
+    msgs = [r for r in rec if "numpy permutohedral lattice" in str(r.message)]
     assert len(msgs) == 1
 
 

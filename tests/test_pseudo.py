@@ -59,6 +59,24 @@ def test_propagate_to_edge_parity(ref_indexing, rng):
     np.testing.assert_allclose(our_rw, ref_rw, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("W", [8, 4])
+def test_propagate_to_edge_parity_narrow_grid(ref_indexing, rng, W):
+    """Narrow grids where distinct directions share a flat band offset
+    (W <= 2*(radius-1); e.g. (0,4) and (1,-4) at W=8, and (1,-4) collides
+    with the unit diagonal at W=4) — the banded build must ACCUMULATE those
+    rows like the scatter build does, not overwrite them."""
+    import torch
+
+    H, K = 12, 2
+    x = rng.random((K, H, W)).astype(np.float32)
+    edge = (rng.random((H, W)) * 0.9).astype(np.float32)
+    ref_rw = ref_indexing.propagate_to_edge(
+        torch.tensor(x), torch.tensor(edge), radius=5, beta=10, exp_times=4
+    ).numpy().reshape(K, H, W)
+    our_rw = np.asarray(our_idx.propagate_to_edge(x, edge, radius=5, beta=10.0, exp_times=4))
+    np.testing.assert_allclose(our_rw, ref_rw, atol=2e-5, rtol=1e-4)
+
+
 def test_unary_from_labels():
     labels = np.array([[0, 1], [1, 0]])
     u = unary_from_labels(labels, 2, gt_prob=0.7)

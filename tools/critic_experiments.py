@@ -166,20 +166,23 @@ def exp_patch_embed():
     kernel = jax.random.normal(key, (ps, ps, 3, W), jnp.bfloat16) * 0.02
     imgs = _images(2)
 
-    @jax.jit
-    def conv_embed(x):
+    # one un-jitted definition of each form, shared by the fwd and fwd+bwd
+    # timings so the A/B can't drift between two copies
+    def _conv(x):
         return jax.lax.conv_general_dilated(
             x, kernel, (ps, ps), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    @jax.jit
-    def matmul_embed(x):
+    def _mm(x):
         N, H, Wd, C = x.shape
         gh, gw = H // ps, Wd // ps
         p = x.reshape(N, gh, ps, gw, ps, C).transpose(0, 1, 3, 2, 4, 5)
         p = p.reshape(N, gh * gw, ps * ps * C)
         return p @ kernel.reshape(ps * ps * C, W)
+
+    conv_embed = jax.jit(_conv)
+    matmul_embed = jax.jit(_mm)
 
     np.testing.assert_allclose(
         np.asarray(conv_embed(imgs[0]), np.float32).reshape(B, -1, W),
@@ -200,16 +203,7 @@ def exp_patch_embed():
             return y.astype(jnp.float32).mean() + g.astype(jnp.float32).mean()
         return fwdbwd
 
-    tb_conv = _time(mk_fwdbwd(lambda x: jax.lax.conv_general_dilated(
-        x, kernel, (ps, ps), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))), imgs)
-
-    def _mm(x):
-        N, H, Wd, C = x.shape
-        gh, gw = H // ps, Wd // ps
-        p = x.reshape(N, gh, ps, gw, ps, C).transpose(0, 1, 3, 2, 4, 5)
-        p = p.reshape(N, gh * gw, ps * ps * C)
-        return p @ kernel.reshape(ps * ps * C, W)
-
+    tb_conv = _time(mk_fwdbwd(_conv), imgs)
     tb_mm = _time(mk_fwdbwd(_mm), imgs)
     print(f"patch_embed fwd+bwd-wrt-input: conv {tb_conv:.3f} ms vs im2col-matmul {tb_mm:.3f} ms")
 

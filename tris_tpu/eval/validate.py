@@ -77,14 +77,26 @@ def normalize_threshold(cam: np.ndarray):
 # COCO-family splits have few distinct original sizes so 256 entries never
 # evict; a dataset with thousands of distinct sizes can bound host+HBM cache
 # memory with TRIS_RESIZE_MAT_CACHE (entries per cache, host and device each).
-_MAT_CACHE_SIZE = int(os.environ.get("TRIS_RESIZE_MAT_CACHE", "256"))
+# The env var is read at first USE (not import) so setting it after importing
+# tris_tpu still takes effect.
+def _mat_cache_size() -> int:
+    return int(os.environ.get("TRIS_RESIZE_MAT_CACHE", "256"))
 
 
-@functools.lru_cache(maxsize=_MAT_CACHE_SIZE)
+_padded_resize_matrix_impl = None
+
+
 def _padded_resize_matrix(in_size: int, out_size: int, max_out: int) -> np.ndarray:
-    A = np.zeros((max_out, in_size), np.float32)
-    A[:out_size] = _resize_matrix_np(in_size, out_size, True)
-    return A
+    global _padded_resize_matrix_impl
+    if _padded_resize_matrix_impl is None:
+        @functools.lru_cache(maxsize=_mat_cache_size())
+        def impl(in_size: int, out_size: int, max_out: int) -> np.ndarray:
+            A = np.zeros((max_out, in_size), np.float32)
+            A[:out_size] = _resize_matrix_np(in_size, out_size, True)
+            return A
+
+        _padded_resize_matrix_impl = impl
+    return _padded_resize_matrix_impl(in_size, out_size, max_out)
 
 
 def _resize_norm_valid(cams, Ah, Aw):
@@ -163,7 +175,7 @@ def _make_mats_fn(put, mesh):
             return put(Ah), put(Aw)
         return mats
 
-    @functools.lru_cache(maxsize=_MAT_CACHE_SIZE)
+    @functools.lru_cache(maxsize=_mat_cache_size())
     def dev_mat(in_size: int, out_size: int, max_out: int):
         return jnp.asarray(_padded_resize_matrix(in_size, out_size, max_out))
 

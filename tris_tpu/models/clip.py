@@ -190,9 +190,12 @@ class PatchEmbed(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ps = self.patch_size
         N, H, W, C = x.shape
+        # param stays f32 (nn.Conv semantics: fp32 params, compute in dtype);
+        # cast at use so bf16 runs with f32-loaded checkpoints still hit the
+        # bf16 matmul this module exists for.
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (ps, ps, C, self.width), self.dtype,
-        )
+            "kernel", nn.initializers.lecun_normal(), (ps, ps, C, self.width),
+        ).astype(self.dtype)
         p = x.astype(self.dtype).reshape(N, H // ps, ps, W // ps, ps, C)
         p = p.transpose(0, 1, 3, 2, 4, 5).reshape(N, (H // ps) * (W // ps), ps * ps * C)
         return p @ kernel.reshape(ps * ps * C, self.width)

@@ -60,10 +60,16 @@ def training_mesh(batch_size: int, tp: int = 1) -> Mesh:
     if n % tp:
         raise ValueError(f"--tp {tp} does not divide device count {n}")
     dp = n // tp
-    if batch_size % dp:
+    # batch_size is PER-PROCESS (create_mesh_for_batch semantics); the data
+    # axis shards the assembled GLOBAL batch, so validate that — a 2-host
+    # run with --tp 2 --batch_size 12 on 16 chips (dp=8, global batch 24)
+    # is valid even though 12 % 8 != 0.
+    global_batch = batch_size * jax.process_count()
+    if global_batch % dp:
         raise ValueError(
-            f"batch_size {batch_size} must be divisible by the data-parallel "
-            f"size {dp} (= {n} devices / tp {tp})")
+            f"global batch {global_batch} (per-process batch_size {batch_size}"
+            f" x {jax.process_count()} processes) must be divisible by the "
+            f"data-parallel size {dp} (= {n} devices / tp {tp})")
     return create_mesh_2d(dp, tp)
 
 

@@ -30,12 +30,12 @@ def _native():
     """The native CRF namespace, or None (with a one-time warning) when the
     C++ library is unbuilt/unloadable.
 
-    The two backends are cross-validated by tests/test_native.py
-    (mean-field Q agreement + >=99% ir_label pixel agreement at the reference
-    thresholds), but they are NOT bit-identical — the scipy bilateral-grid is
-    an approximation of the permutohedral lattice — so a silent switch would
-    change pseudo-labels without trace. Errors raised by the native call
-    itself propagate; only unavailability falls back."""
+    The two backends implement the SAME Adams-2010 permutohedral lattice and
+    are cross-validated to float rounding by tests/test_native.py (max |dQ|
+    <= 4e-6, 100% ir_label agreement at the reference thresholds); the
+    fallback is pure numpy and several times slower per core, so the switch
+    still warns once. Errors raised by the native call itself propagate;
+    only unavailability falls back."""
     global _warned_fallback
     try:
         from tris_tpu import native as native_mod
@@ -47,9 +47,9 @@ def _native():
             _warned_fallback = True
             warnings.warn(
                 f"tris_tpu.native CRF unavailable ({e!r}); falling back to the "
-                "scipy bilateral-grid approximation. Pseudo-labels will differ "
-                "slightly from the native permutohedral lattice (tests pin "
-                ">=99% ir_label agreement). Build with `make -C native`.",
+                "numpy permutohedral lattice (same algorithm, agrees to float "
+                "rounding, but several times slower per core). Build with "
+                "`make -C native`.",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -245,7 +245,8 @@ def dense_crf_inference(
     """Mean-field dense CRF. image: [H, W, 3] uint8; unary: [L, H*W] -log p.
 
     Returns Q [L, H, W]. Tries the native C++ permutohedral implementation
-    first; falls back to the scipy approximation.
+    first; falls back to the numpy permutohedral lattice (same algorithm,
+    agrees to float rounding — tests/test_native.py).
     """
     h, w = image.shape[:2]
     L = unary.shape[0]
@@ -292,7 +293,7 @@ def dense_crf_inference_multi(
             gaussian_sxy, gaussian_compat, bilateral_sxy, bilateral_srgb, bilateral_compat,
         )
 
-    # scipy fallback: share the filters across the K problems
+    # numpy fallback: share the filters across the K problems
     u = unaries.reshape(K, L, h, w).astype(np.float32)
     gauss = _GaussianFilter((h, w), gaussian_sxy)
     bilat = _BilateralFilter(image, bilateral_sxy, bilateral_srgb)

@@ -160,19 +160,29 @@ def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
     width = 2 * max_off + 1
     assert width <= n + 1, (width, n)  # caller guards (banded_ok)
 
-    pieces = {}  # band row (= offset + max_off) -> [HW] values
+    # band row (= offset + max_off) -> [HW] values; directions may SHARE a
+    # flat offset on narrow grids (dy1*W+dx1 == dy2*W+dx2 whenever
+    # W <= 2*(radius-1)), and an offset-0 direction shares the diagonal's
+    # row — accumulate, matching the scatter path's `.add` semantics.
+    pieces = {}
+
+    def _acc(key, arr):
+        pieces[key] = arr if key not in pieces else pieces[key] + arr
+
     for d, (dy, dx) in enumerate(dirs):
         dy, dx = int(dy), int(dx)
         off = dy * W + dx
         c0, c1 = max(0, -dx), min(W, W - dx)
         r1 = H - dy
+        if c1 <= c0 or r1 <= 0:
+            continue  # |dx| >= W or dy >= H: no in-crop pairs (zero contribution)
         vals = aff_grids[d, 0:r1, c0 + woff:c1 + woff]
         # dense[src, dst] at offset +off: value sits at row src = (r, c')
-        pieces[off + max_off] = jnp.pad(vals, ((0, H - r1), (c0, W - c1))).reshape(n)
+        _acc(off + max_off, jnp.pad(vals, ((0, H - r1), (c0, W - c1))).reshape(n))
         # dense[dst, src] at offset -off: value sits at row dst = (r+dy, c'+dx)
-        pieces[-off + max_off] = jnp.pad(
-            vals, ((dy, 0), (c0 + dx, W - c1 - dx))).reshape(n)
-    pieces[max_off] = jnp.ones((n,), aff_grids.dtype)  # unit diagonal
+        _acc(-off + max_off, jnp.pad(
+            vals, ((dy, 0), (c0 + dx, W - c1 - dx))).reshape(n))
+    _acc(max_off, jnp.ones((n,), aff_grids.dtype))  # unit diagonal
 
     # band rows in offset order, zero rows in the gaps, as ONE concat
     rows, prev = [], 0
