@@ -40,7 +40,7 @@ Env knobs:
                               the infer line with all modes in "extra"
   TRIS_BENCH_SENTS   (eval/prms: sentences per ref bucket, default 4)
   TRIS_BENCH_EMA     (train2: '1' EMA teacher on (default), '0' off)
-  TRIS_BENCH_CHAIN   (train/eval/prms: batches per dispatch, default 8 for
+  TRIS_BENCH_CHAIN   (train/train2/eval/prms: batches per dispatch, default 8 for
                      eval/prms, 1 for train. Through the axon relay the fixed
                      per-dispatch overhead (~5-10 ms) dominates the short
                      eval/prms programs (~12 ms device time) even at 100
@@ -292,6 +292,7 @@ def bench_train2() -> dict:
     batch = int(os.environ.get("TRIS_BENCH_BATCH", 48))
     size = int(os.environ.get("TRIS_BENCH_SIZE", 320))
     iters = int(os.environ.get("TRIS_BENCH_ITERS", 50))
+    chain = int(os.environ.get("TRIS_BENCH_CHAIN", 1))
 
     model = TRISStage2(Stage2Config(), dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
@@ -301,7 +302,9 @@ def bench_train2() -> dict:
     use_ema = os.environ.get("TRIS_BENCH_EMA", "1") == "1"
     state = create_train_state(model, variables, total_steps=10 ** 6, stage="stage2",
                                with_ema=use_ema)
-    step = make_train_step(model, Stage2TrainConfig(use_ema=use_ema))
+    step = make_train_step(model, Stage2TrainConfig(use_ema=use_ema), chain=chain)
+    if chain > 1:
+        iters = max(5, iters // chain)
     bt = {
         "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
         "word_ids": ids,
@@ -321,7 +324,7 @@ def bench_train2() -> dict:
     float(m["loss"])  # forces completion of the chain
     dt = time.perf_counter() - t0
     return _result("train2", "stage2_rn50_320px_train_step_throughput_per_chip",
-                   batch * iters / dt, "images/sec/chip")
+                   batch * iters * chain / dt, "images/sec/chip")
 
 
 def bench_eval() -> dict:

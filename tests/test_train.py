@@ -111,6 +111,45 @@ def test_stage1_train_step_on_mesh(stage1_setup, rng):
     assert int(new_state.step) == 1
 
 
+def test_stage2_chained_step_matches_two_steps(rng):
+    """bench.py's TRIS_BENCH_CHAIN path: a chain=2 program must equal two
+    chain=1 steps exactly (same batch, same EMA counter progression)."""
+    cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
+    model = TRISStage2(cfg)
+    B = 2
+    img = jnp.zeros((B, 64, 64, 3))
+    ids = jnp.ones((B, 20), jnp.int32).at[:, 3].set(49407)
+    variables = model.init(jax.random.PRNGKey(1), img, ids, train=True)
+    tcfg = train_stage2.Stage2TrainConfig(use_ema=True, ema_update_after=0, ema_update_every=1)
+    batch = {
+        "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "word_ids": np.asarray(ids),
+        "pseudo": (rng.random((B, 64, 64, 1)) > 0.5).astype(np.float32),
+    }
+
+    state = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+    one = train_stage2.make_train_step(model, tcfg, donate=False)
+    s_ref, _ = one(state, batch)
+    s_ref, m_ref = one(s_ref, batch)
+
+    state2 = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+    two = train_stage2.make_train_step(model, tcfg, donate=False, chain=2)
+    s_chain, m_chain = two(state2, batch)
+
+    assert int(s_chain.step) == int(s_ref.step) == 2
+    np.testing.assert_allclose(float(m_chain["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    d = _tree_delta(
+        jax.tree_util.tree_map(np.asarray, s_chain.params),
+        jax.tree_util.tree_map(np.asarray, s_ref.params),
+    )
+    assert max(d.values()) < 1e-5
+    d_ema = _tree_delta(
+        jax.tree_util.tree_map(np.asarray, s_chain.ema_params),
+        jax.tree_util.tree_map(np.asarray, s_ref.ema_params),
+    )
+    assert max(d_ema.values()) < 1e-5
+
+
 def test_stage2_train_step_with_ema(rng):
     cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
     model = TRISStage2(cfg)

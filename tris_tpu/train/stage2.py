@@ -66,7 +66,17 @@ def stage2_loss(params, batch_stats, ema_params, ema_batch_stats, model, batch,
     return loss, (mut["batch_stats"], metrics)
 
 
-def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate: bool = True):
+def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate: bool = True,
+                    chain: int = 1):
+    """Build the jitted stage-2 train step: (state, batch) -> (state, metrics).
+
+    ``chain > 1`` runs that many optimizer steps on the SAME batch inside one
+    XLA program (``lax.scan`` over the step; metrics are the last step's) —
+    same relay-amortizing bench option as the stage-1 step
+    (train/stage1.py::make_train_step). The EMA counter/decay schedule sees
+    the same per-step ``state.step`` increments either way.
+    """
+
     def train_step(state: TrainState, batch: dict):
         grad_fn = jax.value_and_grad(stage2_loss, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
@@ -102,5 +112,15 @@ def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate:
                 ema_batch_stats=track(state.ema_batch_stats, state.batch_stats),
             )
         return state, metrics
+
+    if chain > 1:
+        def chained(state: TrainState, batch: dict):
+            def body(s, _):
+                return train_step(s, batch)
+
+            state, ms = jax.lax.scan(body, state, None, length=chain)
+            return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return jax.jit(chained, donate_argnums=(0,) if donate else ())
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
