@@ -45,15 +45,19 @@ Env knobs:
                      per-dispatch overhead (~5-10 ms) dominates the short
                      eval/prms programs (~12 ms device time) even at 100
                      iterations; chaining K batches into one program via
-                     lax.scan — each scan step consuming a DIFFERENT
-                     device-resident batch so nothing is loop-hoisted —
-                     makes the wall clock measure the chip, which is what a
+                     lax.scan — EVERY batch component (images, token ids,
+                     valid masks, pseudo-masks) differs per scan step and is
+                     threaded as scan xs, so nothing is loop-invariant and
+                     XLA's while-loop LICM cannot hoist the text towers or
+                     any other subcomputation out of the chain — makes the
+                     wall clock measure the chip, which is what a
                      directly-attached production host sees. Set to 1 to
                      measure the per-dispatch path instead.)
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -147,6 +151,19 @@ def _load_extra() -> dict:
         return {}
 
 
+def _random_word_ids(key, shape):
+    """Distinct, well-formed token batches: random vocab ids with BOS/EOS in
+    place. Varying the ids per chained scan step keeps the text towers from
+    being loop-hoisted (they would be loop-invariant with constant ids)."""
+    import jax
+    import jax.numpy as jnp
+
+    ids = jax.random.randint(key, shape, 1000, 40000, jnp.int32)
+    ids = ids.at[..., 0].set(49406)
+    ids = ids.at[..., 2:].set(0)
+    return ids.at[..., 2].set(49407)
+
+
 def main() -> None:
     mode = os.environ.get("TRIS_BENCH_MODE", "infer")
     fns = {
@@ -156,6 +173,7 @@ def main() -> None:
         "eval": bench_eval,
         "prms": bench_prms,
         "insseg": bench_insseg,
+        "irntrain": bench_irntrain,
     }
     if mode == "all":
         results = {}
@@ -261,13 +279,22 @@ def bench_train() -> dict:
     critic_vars = jax.jit(lambda k: critic.init(k, jnp.zeros((1, 224, 224, 3)), ids[:1]))(key)
     state = create_train_state(model, variables, total_steps=10 ** 6)
     step = make_train_step(model, critic, Stage1LossWeights(), donate=True, chain=chain)
-    bt = {
-        "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
-        "word_ids": ids,
-        "neg_word_ids": jnp.broadcast_to(ids[:, None], (batch, negatives, 20)),
-    }
     if chain > 1:
+        # chain>1 contract: leading [chain] axis, one DISTINCT batch per scan
+        # step (images AND token ids) so nothing is loop-invariant
+        k1, k2, k3 = jax.random.split(key, 3)
+        bt = {
+            "image": jax.random.normal(k1, (chain, batch, size, size, 3), jnp.float32),
+            "word_ids": _random_word_ids(k2, (chain, batch, 20)),
+            "neg_word_ids": _random_word_ids(k3, (chain, batch, negatives, 20)),
+        }
         iters = max(5, iters // chain)
+    else:
+        bt = {
+            "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
+            "word_ids": ids,
+            "neg_word_ids": jnp.broadcast_to(ids[:, None], (batch, negatives, 20)),
+        }
     state, m = step(state, bt, critic_vars)
     float(m["loss"])  # compile + sync
     t0 = time.perf_counter()
@@ -304,12 +331,21 @@ def bench_train2() -> dict:
                                with_ema=use_ema)
     step = make_train_step(model, Stage2TrainConfig(use_ema=use_ema), chain=chain)
     if chain > 1:
+        # chain>1 contract: one DISTINCT batch per scan step (see bench_train)
+        k1, k2, k3 = jax.random.split(key, 3)
+        bt = {
+            "image": jax.random.normal(k1, (chain, batch, size, size, 3), jnp.float32),
+            "word_ids": _random_word_ids(k2, (chain, batch, 20)),
+            "pseudo": (jax.random.uniform(k3, (chain, batch, size, size, 1)) > 0.5)
+            .astype(jnp.float32),
+        }
         iters = max(5, iters // chain)
-    bt = {
-        "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
-        "word_ids": ids,
-        "pseudo": (jax.random.uniform(key, (batch, size, size, 1)) > 0.5).astype(jnp.float32),
-    }
+    else:
+        bt = {
+            "image": jax.random.normal(key, (batch, size, size, 3), jnp.float32),
+            "word_ids": ids,
+            "pseudo": (jax.random.uniform(key, (batch, size, size, 1)) > 0.5).astype(jnp.float32),
+        }
     # warm TWO steps: the first output's buffer layouts differ from the
     # freshly-created state's, so the signature reaches its fixed point (and
     # the jit cache its steady size) only on the second call — timing from
@@ -359,18 +395,24 @@ def bench_eval() -> dict:
     forward = make_eval_forward(model)
 
     if chain > 1:
-        # one dispatch = `chain` DIFFERENT batches through a lax.scan (distinct
-        # data defeats loop-invariant hoisting); wall clock ~= device time
-        images = jax.random.normal(key, (chain, batch, size, size, 3), jnp.float32)
-        jax.block_until_ready(images)
+        # one dispatch = `chain` DIFFERENT batches through a lax.scan. Images
+        # AND token ids are scan xs and distinct per step — with constant ids
+        # the text tower would be loop-invariant and XLA's LICM could hoist
+        # it out of the chain, overstating the per-ref rate (real eval has
+        # fresh sentences every batch).
+        k1, k2 = jax.random.split(key)
+        images = jax.random.normal(k1, (chain, batch, size, size, 3), jnp.float32)
+        idsc = _random_word_ids(k2, (chain, batch, sents, 20))
+        jax.block_until_ready((images, idsc))
 
         @jax.jit
-        def run(variables, images, ids):
-            def body(acc, img):
+        def run(variables, images, idsc):
+            def body(acc, xs):
+                img, ids = xs
                 out = model.apply(variables, img, ids, method="response_maps")
                 return acc + out.astype(jnp.float32).mean(), None
 
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), images)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (images, idsc))
             return acc
 
         iters = max(10, iters // chain)  # chain already amortizes dispatch
@@ -378,8 +420,8 @@ def bench_eval() -> dict:
         # executions of a fresh program run far below steady state (measured
         # 165 ms/batch on the first timed run vs 5.4 steady)
         for _ in range(3):
-            float(run(variables, images, ids))
-        dt = _best_of(lambda: _chain_loop(run, (variables, images, ids), iters))
+            float(run(variables, images, idsc))
+        dt = _best_of(lambda: _chain_loop(run, (variables, images, idsc), iters))
         return _result("eval", f"eval_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
                        batch * chain * iters / dt, "refs/sec/chip")
 
@@ -435,25 +477,30 @@ def bench_prms() -> dict:
     forward = make_prms_forward(model, critic)
 
     if chain > 1:
-        # see bench_eval: K distinct batches per dispatch so the wall clock
-        # measures the chip, not the relay's per-dispatch overhead
-        images = jax.random.normal(key, (chain, batch, size, size, 3), jnp.float32)
-        jax.block_until_ready(images)
+        # see bench_eval: K distinct batches per dispatch — images, token ids
+        # AND valid masks all vary per scan step (constant ids would let LICM
+        # hoist the model text tower and the critic's S text encodes)
+        k1, k2 = jax.random.split(key)
+        images = jax.random.normal(k1, (chain, batch, size, size, 3), jnp.float32)
+        idsc = _random_word_ids(k2, (chain, batch, sents, 20))
+        validc = jnp.ones((chain, batch, sents), bool)
+        jax.block_until_ready((images, idsc))
 
         @jax.jit
-        def run(variables, critic_vars, images, ids, valid):
-            def body(acc, img):
+        def run(variables, critic_vars, images, idsc, validc):
+            def body(acc, xs):
+                img, ids, valid = xs
                 _, _, scores = forward(variables, critic_vars, img, ids, valid)
                 return acc + jnp.where(jnp.isfinite(scores), scores, 0.0).sum(), None
 
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), images)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (images, idsc, validc))
             return acc
 
         iters = max(10, iters // chain)  # chain already amortizes dispatch
         for _ in range(3):  # compile + warm to steady state (see bench_eval)
-            float(run(variables, critic_vars, images, ids, valid))
+            float(run(variables, critic_vars, images, idsc, validc))
         dt = _best_of(
-            lambda: _chain_loop(run, (variables, critic_vars, images, ids, valid), iters))
+            lambda: _chain_loop(run, (variables, critic_vars, images, idsc, validc), iters))
         return _result("prms", f"prms_rn50_{size}px_S{sents}_refs_per_sec_per_chip",
                        batch * chain * iters / dt, "refs/sec/chip")
 
@@ -479,50 +526,185 @@ def bench_insseg() -> dict:
     (indexing.py:141-166). Shapes follow the IRNet recipe: 512px input,
     stride-4 grid (128x128 -> 16384^2 dense matmuls, ~70 TFLOP/image).
 
-    Per iteration only small stride-4 grids cross the link (centroids/disp/
-    edge ~128 KB each for clustering, the [K, h4, w4] walk output ~1 MB) —
-    mirroring what the real pipeline fetches, and <10% of the walk's device
-    time even through the ~12 MB/s relay. The torch anchor for this stage is
-    impractical on CPU (~70 TFLOP/image dense matmuls), so vs_baseline stays
-    null unless BASELINE.json carries a GPU-side number."""
+    Pipelined like the production pass (pseudo/pipeline.py::_ins_seg_worker):
+    image k+1's device programs are DISPATCHED before image k's host
+    clustering runs, so host CC and device matmuls overlap instead of
+    serializing (jax dispatch is async). Per iteration only small stride-4
+    grids cross the link (centroids/disp ~128 KB for clustering; the walk is
+    reduced to a device scalar) — <10% of the walk's device time even through
+    the ~12 MB/s relay. The torch anchor for this stage is impractical on CPU
+    (~70 TFLOP/image dense matmuls), so vs_baseline stays null unless
+    BASELINE.json carries a GPU-side number."""
+    import collections
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from tris_tpu.pseudo.irnet import IRNet, edge_displacement_infer
-    from tris_tpu.pseudo.labels import cluster_centroids, find_centroids_with_refinement
+    from tris_tpu.pseudo.labels import _refine_centroids, cluster_centroids
     from tris_tpu.pseudo.indexing import propagate_to_edge_bucketed
 
     size = int(os.environ.get("TRIS_BENCH_SIZE", 512))
-    iters = int(os.environ.get("TRIS_BENCH_ITERS", 4))  # ~70 TFLOP each: long programs
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 8))
 
     model = IRNet()
     key = jax.random.PRNGKey(0)
-    img0 = jax.random.normal(key, (size, size, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, jnp.zeros((2, size, size, 3))))(key)
 
-    def one_image(img):
+    def dispatch(img, cam):
+        """S1: edge/displacement inference + centroid scan (device, async)."""
         edge, disp = edge_displacement_infer(model, variables, img)
-        centroids = find_centroids_with_refinement(np.asarray(disp))  # fetches [2, h4, w4]
-        inst = cluster_centroids(centroids, np.asarray(disp))         # host CC
-        cam = np.asarray(jax.random.uniform(key, edge.shape), np.float32)
-        inst_cam = cam[None] * inst.astype(np.float32)
-        rw = propagate_to_edge_bucketed(inst_cam, np.asarray(edge, np.float32))
-        return float(rw.sum())
+        return edge, disp, _refine_centroids(disp), cam
 
-    one_image(img0)  # compile + warm every program
+    def walk(edge, disp, cents, cam):
+        """S2: host CC on the fetched stride-4 grids, then the random-walk
+        dispatch; returns a device scalar depending on the whole walk."""
+        inst = cluster_centroids(np.asarray(cents), np.asarray(disp))  # host CC
+        inst_cam = cam[None] * jnp.asarray(inst, jnp.float32)          # device
+        rw = propagate_to_edge_bucketed(inst_cam, edge)
+        return rw.astype(jnp.float32).sum()
+
     n_inputs = 2
     imgs = [jax.random.normal(k, (size, size, 3), jnp.float32)
             for k in jax.random.split(key, n_inputs)]
-    jax.block_until_ready(imgs)
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += one_image(imgs[i % n_inputs])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(acc)
+    cams = [jax.random.uniform(k, (size // 4, size // 4), jnp.float32)
+            for k in jax.random.split(jax.random.PRNGKey(7), n_inputs)]
+    jax.block_until_ready((imgs, cams))
+    float(walk(*dispatch(imgs[0], cams[0])))  # compile + warm every program
+
+    def timed():
+        t0 = time.perf_counter()
+        pending: collections.deque = collections.deque()
+        acc = jnp.zeros(())
+        for i in range(iters):
+            pending.append(dispatch(imgs[i % n_inputs], cams[i % n_inputs]))
+            if len(pending) > 1:  # one-deep pipeline, as the production pass
+                acc = acc + walk(*pending.popleft())
+        while pending:
+            acc = acc + walk(*pending.popleft())
+        assert np.isfinite(float(acc))  # forces completion of every image
+        return time.perf_counter() - t0
+
+    dt = _best_of(timed)
     return _result("insseg", f"insseg_irnet_{size}px_images_per_sec_per_chip",
                    iters / dt, "images/sec/chip")
+
+
+def bench_irntrain() -> dict:
+    """IRNet affinity/displacement training step (train_irn.py:33-93): frozen
+    R50 trunk forward/backward at crop 512, path-indexed affinity + masked
+    displacement losses over PathIndex(radius=10) pairs, SGD with the
+    displacement head at 10x LR. Reference recipe: global bs 96 over 4 GPUs =
+    24/device (TRIS_BENCH_BATCH overrides).
+
+    This is the DEVICE half of the measurement; the host half (the threaded
+    PIL augment + affinity-label loader, pseudo/pipeline.py::irn_train_batches)
+    is measured by tools/irn_feed_experiments.py — together they decide
+    host- vs device-bound (VERDICT r3 weak #3). Labels are synthesized on
+    device (the same math as pseudo/aug.py::affinity_labels_from_indices on a
+    random quarter-scale label map), so shapes and sparsity match production;
+    values don't affect timing (dense masked reductions). Chain mode
+    (TRIS_BENCH_CHAIN) scans over distinct per-step batches as in the
+    stage-1/2 trainers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tris_tpu.pseudo.indexing import PathIndex
+    from tris_tpu.pseudo.irnet import IRNet
+    from tris_tpu.pseudo.train_irn import (
+        IRNTrainConfig,
+        create_irn_state,
+        make_irn_train_step,
+    )
+
+    batch = int(os.environ.get("TRIS_BENCH_BATCH", 24))
+    size = int(os.environ.get("TRIS_BENCH_SIZE", 512))
+    iters = int(os.environ.get("TRIS_BENCH_ITERS", 20))
+    # the step is heavy (bs-24 fwd/bwd at 512px) so dispatch overhead is a
+    # small fraction; labels are ~8 MB/example on device (152 x 13090 pairs
+    # x 3 tensors), so a long chain would hold GBs — 2 is enough
+    chain = int(os.environ.get("TRIS_BENCH_CHAIN", 2))
+
+    path_index = PathIndex(10, (size // 4, size // 4))
+    model = IRNet()
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda k: model.init(k, jnp.zeros((2, size, size, 3))))(key)
+    tcfg = IRNTrainConfig(crop_size=size, batch_size=batch)
+    state = create_irn_state(model, variables, tcfg, max_step=10 ** 6)
+    step = make_irn_train_step(model, path_index, donate=True)
+
+    # labels are synthesized ON DEVICE (the tensors are ~MBs/example — far too
+    # big to push through the relay like numpy arrays): same math as
+    # pseudo/aug.py::affinity_labels_from_indices on a random {bg, fg, ignore}
+    # quarter-scale map, with only the (one-time) pair indices transferred
+    idx_from = jnp.asarray(path_index.src_indices)   # [n_pairs]
+    idx_to = jnp.asarray(path_index.dst_indices)     # [n_dirs, n_pairs]
+
+    def mk_batch(k, lead=()):
+        k1, k2 = jax.random.split(k)
+        shape = (*lead, batch)
+
+        @jax.jit
+        def build(k1, k2):
+            u = jax.random.uniform(k1, (*shape, (size // 4) * (size // 4)))
+            lab = jnp.where(u < 0.45, 0, jnp.where(u < 0.80, 1, 255)).astype(jnp.int32)
+            lab_from = jnp.take(lab, idx_from, axis=-1)[..., None, :]
+            lab_to = jnp.take(lab, idx_to.reshape(-1), axis=-1).reshape(
+                *shape, *idx_to.shape)
+            valid = (lab_from < 21) & (lab_to < 21)
+            pos = (lab_from == lab_to) & valid
+            return {
+                "image": jax.random.normal(k2, (*shape, size, size, 3), jnp.float32),
+                "aff_bg_pos": (pos & (lab_from == 0)).astype(jnp.float32),
+                "aff_fg_pos": (pos & (lab_from > 0)).astype(jnp.float32),
+                "aff_neg": (~(lab_from == lab_to) & valid).astype(jnp.float32),
+            }
+
+        return build(k1, k2)
+
+    if chain > 1:
+        # scan over the raw step body (the jitted step can't be scanned);
+        # distinct per-step batches as in bench_train
+        import optax
+
+        from tris_tpu.pseudo.train_irn import irn_loss
+
+        def body(s, b):
+            (_, metrics), grads = jax.value_and_grad(irn_loss, has_aux=True)(
+                s.params, s.batch_stats, model, path_index, b)
+            updates, new_opt = s.tx.update(grads, s.opt_state, s.params)
+            new_params = optax.apply_updates(s.params, updates)
+            return s.replace(step=s.step + 1, params=new_params, opt_state=new_opt), metrics
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(s, batches):
+            s, ms = jax.lax.scan(body, s, batches)
+            return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        bt = mk_batch(key, lead=(chain,))
+        iters = max(2, iters // chain)
+        state, m = run(state, bt)
+        float(m["loss"])  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = run(state, bt)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        n_img = batch * chain * iters
+    else:
+        bt = mk_batch(key)
+        state, m = step(state, bt)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, bt)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        n_img = batch * iters
+    return _result("irntrain", f"irntrain_r50_{size}px_images_per_sec_per_chip",
+                   n_img / dt, "images/sec/chip")
 
 
 if __name__ == "__main__":

@@ -110,10 +110,29 @@ def test_irnet_pipeline_e2e(fake_root, tiny_backbones, tmp_path):
     variables = run_train_irn(cfg, epochs=1, batch_size=2, lr=0.01, log=lambda *a: None)
     assert os.path.exists(cfg.irn_weights)
 
+    # default pass: sharded over every local device (8 on the CPU mesh) with
+    # the host/device pipeline inside each worker
     run_make_ins_seg(cfg, variables=variables, log=lambda *a: None)
     det = np.load(tmp_path / "ins_seg" / f"{names[0]}.npy", allow_pickle=True).item()
     assert set(det.keys()) == {"score", "mask", "class", "cam"}
     assert det["mask"].ndim == 3 and det["mask"].shape[1:] == (48, 64)
+
+    # sharded+pipelined outputs must be IDENTICAL to a serial single-device
+    # pass (depth=0 fetches each stage immediately): the fan-out only
+    # overlaps work, it must not change any npy
+    import dataclasses as _dc
+
+    import jax
+
+    cfg_serial = _dc.replace(cfg, ins_seg_dir=str(tmp_path / "ins_seg_serial"))
+    run_make_ins_seg(cfg_serial, variables=variables, log=lambda *a: None,
+                     devices=[jax.devices()[0]], depth=0)
+    for n in names:
+        a = np.load(tmp_path / "ins_seg" / f"{n}.npy", allow_pickle=True).item()
+        b = np.load(tmp_path / "ins_seg_serial" / f"{n}.npy", allow_pickle=True).item()
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{n}:{k}")
 
     # stage-2 consumes these: verify the dataset can load them
     from tris_tpu.data.dataset import ReferSegDataset
@@ -121,6 +140,32 @@ def test_irnet_pipeline_e2e(fake_root, tiny_backbones, tmp_path):
     ds = ReferSegDataset(root, split="train", size=64, pseudo_path=str(tmp_path / "ins_seg"))
     ex = ds.train_example(0, np.random.default_rng(0))
     assert ex["pseudo"].shape == (64, 64, 1)
+
+    # ---- continue the reference's four-command recipe at the CLI surface:
+    # ins_seg -> train_stage2 main (1 epoch, EMA teacher on) -> best ckpt ->
+    # cli/validate --stage 2 on it (train_stage2.py:37-90, validate.py:23-24)
+    from tris_tpu.cli import train_stage2 as train_stage2_cli
+    from tris_tpu.cli import validate as validate_cli
+
+    out2 = str(tmp_path / "out_stage2")
+    args2 = _args([
+        "--dataset", "refcoco", "--splitBy", "unc", "--refer_data_root", root,
+        "--pseudo_path", str(tmp_path / "ins_seg"),
+        "--batch_size", "2", "--size", "64", "--epoch", "1",
+        "--test_split", "val", "--output", out2, "--print-freq", "1",
+        "--eval_batch", "2", "--model_ema", "--consistency_type", "mse",
+    ])
+    train_stage2_cli.main(args2)
+    best = [f for f in os.listdir(out2) if "best" in f and f.endswith(".msgpack")]
+    assert best, os.listdir(out2)
+
+    val_args = _args([
+        "--dataset", "refcoco", "--splitBy", "unc", "--refer_data_root", root,
+        "--size", "64", "--test_split", "val", "--eval_batch", "2",
+        "--stage", "2", "--pretrain", os.path.join(out2, best[0]), "--eval",
+    ])
+    results = validate_cli.main(val_args)
+    assert 0.0 <= results["val"]["mIoU"] <= 100.0
 
 
 def test_demo_cli(fake_root, tiny_backbones, tmp_path, monkeypatch):

@@ -55,8 +55,70 @@ def test_propagate_to_edge_parity(ref_indexing, rng):
     ref_rw = ref_indexing.propagate_to_edge(
         torch.tensor(x), torch.tensor(edge), radius=5, beta=10, exp_times=4
     ).numpy().reshape(K, H, W)
-    our_rw = np.asarray(our_idx.propagate_to_edge(x, edge, radius=5, beta=10.0, exp_times=4))
+    # k_sq=exp_times + f32 is exactly the reference formulation (all
+    # squarings, one final matmul); default resolution and the opt-in
+    # restructure are covered by the test_walk_* tests below.
+    our_rw = np.asarray(our_idx.propagate_to_edge(
+        x, edge, radius=5, beta=10.0, exp_times=4, k_sq=4, dtype="float32"))
     np.testing.assert_allclose(our_rw, ref_rw, atol=2e-5, rtol=1e-4)
+
+
+def _walk_fixture(rng, H=48, W=40, K=5):
+    """Smooth edge map with real structure (random blobs), instance-masked cams."""
+    from scipy import ndimage
+
+    edge = ndimage.gaussian_filter(rng.random((H, W)).astype(np.float32), 4)
+    edge = (edge - edge.min()) / (edge.max() - edge.min() + 1e-9)
+    x = (rng.random((K, H, W)) * (rng.random((K, 1, 1)) > 0.3)).astype(np.float32)
+    return x, edge
+
+
+def _walk_labels(rw, thres=0.25):
+    """The only thing downstream consumes: max-normalize + bg-threshold argmax
+    (labels.make_instance_masks)."""
+    m = rw / max(rw.max(), 1e-12)
+    padded = np.concatenate([np.full((1,) + rw.shape[1:], thres, np.float32), m], 0)
+    return np.argmax(padded, 0)
+
+
+def test_walk_defaults_match_reference_formulation(rng):
+    """On this (CPU) backend the walk's resolved defaults must BE the reference
+    formulation — k_sq=exp_times, float32 — because true-f32 matmuls make any
+    reduced config a real numerics change (measured: bf16 T storage lands at
+    only ~91% label agreement on this fixture; indexing._walk_defaults). On
+    TPU the default flips to bf16 storage, which is bit-identical THERE (XLA's
+    default matmul precision already feeds the MXU bf16 operands; measured
+    max|d| = 0 at the 128x128 bucket through this exact code path, see
+    _walk_defaults' docstring and docs/PERF_NOTES.md round 4)."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        import pytest
+
+        pytest.skip("default-resolution contract below is the CPU one")
+    x, edge = _walk_fixture(rng)
+    ref = np.asarray(our_idx.propagate_to_edge(
+        x, edge, radius=5, beta=10.0, exp_times=8, k_sq=8, dtype="float32"))
+    got = np.asarray(our_idx.propagate_to_edge(
+        x, edge, radius=5, beta=10.0, exp_times=8))  # resolved defaults
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_walk_thin_step_restructure_exact_in_f32(rng):
+    """The k_sq<exp_times opt-in (TRIS_WALK_KSQ) is an algebraic identity —
+    x @ T^256 as 2 squarings + 64 thin steps — so in TRUE f32 it must agree
+    with the all-squarings form to float-reassociation rounding and produce
+    identical ins_seg labels (measured max_rel 2e-5 on this fixture; the
+    label wobble the knob's docs warn about comes from its interplay with
+    TPU bf16 operand rounding, not from the restructure itself)."""
+    x, edge = _walk_fixture(rng)
+    ref = np.asarray(our_idx.propagate_to_edge(
+        x, edge, radius=5, beta=10.0, exp_times=8, k_sq=8, dtype="float32"))
+    fast = np.asarray(our_idx.propagate_to_edge(
+        x, edge, radius=5, beta=10.0, exp_times=8, k_sq=2, dtype="float32"))
+    rel = np.abs(fast - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 1e-3, rel
+    assert (_walk_labels(fast) == _walk_labels(ref)).mean() >= 0.999
 
 
 @pytest.mark.parametrize("W", [8, 4])

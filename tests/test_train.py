@@ -111,9 +111,29 @@ def test_stage1_train_step_on_mesh(stage1_setup, rng):
     assert int(new_state.step) == 1
 
 
+def _stack_batches(*batches):
+    """Stack per-step batches along a leading chain axis (the chain>1 batch
+    contract of make_train_step)."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
 def test_stage2_chained_step_matches_two_steps(rng):
-    """bench.py's TRIS_BENCH_CHAIN path: a chain=2 program must equal two
-    chain=1 steps exactly (same batch, same EMA counter progression)."""
+    """bench.py's TRIS_BENCH_CHAIN path: a chain=2 program scanning over two
+    stacked DISTINCT batches must equal two chain=1 steps on those batches in
+    order (same EMA counter progression).
+
+    Tolerance note (diagnosed round 4): the chain's ``lax.scan`` body is a
+    SEPARATELY COMPILED program whose reduction fusion order differs from the
+    standalone step's, so gradients carry ~4e-6 of reassociation noise
+    (measured; a composed jit of two standalone steps — same fusions — matches
+    two dispatches to 1.5e-8, which pins the chaining *logic* as exact, and an
+    SGD run below pins it end-to-end). AdamW's ``m/(sqrt(v)+eps)`` turns that
+    noise into full sign flips wherever |grad| ~ eps=1e-8 — the divergent
+    leaves are exactly the near-zero-gradient attention biases (|g| ~ 5e-8) —
+    so the worst-case per-element divergence is the full update magnitude,
+    ~2*lr per step. Bound: steps * 2 * head_lr, with slack for the second
+    step's compounding.
+    """
     cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
     model = TRISStage2(cfg)
     B = 2
@@ -121,33 +141,105 @@ def test_stage2_chained_step_matches_two_steps(rng):
     ids = jnp.ones((B, 20), jnp.int32).at[:, 3].set(49407)
     variables = model.init(jax.random.PRNGKey(1), img, ids, train=True)
     tcfg = train_stage2.Stage2TrainConfig(use_ema=True, ema_update_after=0, ema_update_every=1)
-    batch = {
-        "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
-        "word_ids": np.asarray(ids),
-        "pseudo": (rng.random((B, 64, 64, 1)) > 0.5).astype(np.float32),
-    }
+    def mk_batch():
+        return {
+            "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+            "word_ids": np.asarray(ids),
+            "pseudo": (rng.random((B, 64, 64, 1)) > 0.5).astype(np.float32),
+        }
 
-    state = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+    batch_a, batch_b = mk_batch(), mk_batch()
+    base_lr = 5e-5
+
+    state = create_train_state(model, variables, total_steps=100, stage="stage2",
+                               with_ema=True, base_lr=base_lr)
     one = train_stage2.make_train_step(model, tcfg, donate=False)
-    s_ref, _ = one(state, batch)
-    s_ref, m_ref = one(s_ref, batch)
+    s_ref, _ = one(state, batch_a)
+    s_ref, m_ref = one(s_ref, batch_b)
 
-    state2 = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+    state2 = create_train_state(model, variables, total_steps=100, stage="stage2",
+                                with_ema=True, base_lr=base_lr)
     two = train_stage2.make_train_step(model, tcfg, donate=False, chain=2)
-    s_chain, m_chain = two(state2, batch)
+    s_chain, m_chain = two(state2, _stack_batches(batch_a, batch_b))
 
     assert int(s_chain.step) == int(s_ref.step) == 2
     np.testing.assert_allclose(float(m_chain["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    adamw_bound = 2 * 2.0 * base_lr * 1.5  # steps * max|update| * slack
     d = _tree_delta(
         jax.tree_util.tree_map(np.asarray, s_chain.params),
         jax.tree_util.tree_map(np.asarray, s_ref.params),
     )
-    assert max(d.values()) < 1e-5
+    assert max(d.values()) < adamw_bound, max(d.items(), key=lambda kv: kv[1])
     d_ema = _tree_delta(
         jax.tree_util.tree_map(np.asarray, s_chain.ema_params),
         jax.tree_util.tree_map(np.asarray, s_ref.ema_params),
     )
-    assert max(d_ema.values()) < 1e-5
+    assert max(d_ema.values()) < adamw_bound
+
+
+def test_stage2_chained_step_matches_two_steps_sgd(rng):
+    """The amplification-free twin of the test above: with plain SGD the
+    update is lr * grad, so there is no eps-denominator to amplify the scan
+    body's gradient reassociation noise.
+
+    Contract (diagnosed round 4; the noise is real but bounded): per leaf,
+    |chained - two-step| must stay under 0.25 * |two-step update| + 1e-7.
+    Measured across seeds the worst leaf sits at ~0.06 * update (heavy-tailed:
+    typical draws land at 1e-7..1.5e-6 absolute, one adversarial draw at
+    2.2e-5 on a conv kernel whose 2-step update was ~4e-4) — reassociation
+    noise scales WITH the gradient, so an update-relative bound is the stable
+    one. Any real chaining bug moves leaves at FULL update scale (measured:
+    swapping the two batches' order shifts params ~2e-4, i.e. 4x the bound)
+    and batch mis-threading flips the last-step loss at O(%), caught by the
+    rtol=1e-5 loss check. The losses-agree + step-count + update-relative
+    triple separates semantics (exact) from compile-fusion noise (bounded)."""
+    import optax
+
+    cfg = Stage2Config(clip_override=TINY_RESNET_CLIP)
+    model = TRISStage2(cfg)
+    B = 2
+    img = jnp.zeros((B, 64, 64, 3))
+    ids = jnp.ones((B, 20), jnp.int32).at[:, 3].set(49407)
+    variables = model.init(jax.random.PRNGKey(1), img, ids, train=True)
+    tcfg = train_stage2.Stage2TrainConfig(use_ema=True, ema_update_after=0, ema_update_every=1)
+    def mk_batch():
+        return {
+            "image": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+            "word_ids": np.asarray(ids),
+            "pseudo": (rng.random((B, 64, 64, 1)) > 0.5).astype(np.float32),
+        }
+
+    batch_a, batch_b = mk_batch(), mk_batch()
+
+    def mk():
+        s = create_train_state(model, variables, total_steps=100, stage="stage2", with_ema=True)
+        tx = optax.sgd(1e-3)
+        return s.replace(tx=tx, opt_state=tx.init(s.params))
+
+    p0 = jax.tree_util.tree_map(np.asarray, mk().params)
+
+    one = train_stage2.make_train_step(model, tcfg, donate=False)
+    s_ref, _ = one(mk(), batch_a)
+    s_ref, m_ref = one(s_ref, batch_b)
+
+    two = train_stage2.make_train_step(model, tcfg, donate=False, chain=2)
+    s_chain, m_chain = two(mk(), _stack_batches(batch_a, batch_b))
+
+    assert int(s_chain.step) == int(s_ref.step) == 2
+    np.testing.assert_allclose(float(m_chain["loss"]), float(m_ref["loss"]), rtol=1e-5)
+
+    p_ref = jax.tree_util.tree_map(np.asarray, s_ref.params)
+    d = _tree_delta(jax.tree_util.tree_map(np.asarray, s_chain.params), p_ref)
+    upd = _tree_delta(p_ref, p0)  # per-leaf 2-step update magnitude
+    bad = {k: (d[k], upd[k]) for k in d if d[k] >= 0.25 * upd[k] + 1e-7}
+    assert not bad, bad
+    d_ema = _tree_delta(
+        jax.tree_util.tree_map(np.asarray, s_chain.ema_params),
+        jax.tree_util.tree_map(np.asarray, s_ref.ema_params),
+    )
+    # EMA is a convex average of param trajectories, so its divergence is
+    # bounded by the params' (same noise source, damped by the decay)
+    assert max(d_ema.values()) < 0.25 * max(upd.values()) + 1e-7
 
 
 def test_stage2_train_step_with_ema(rng):

@@ -14,8 +14,11 @@ Findings land in docs/PERF_NOTES.md.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -354,8 +357,91 @@ def exp_train_pieces():
     run(Stage1LossWeights(w1=1.0, w4=5.0, w5=2.0), True, "full l1+l4+l5")
 
 
+def exp_seq_pad():
+    """VERDICT r3 weak #6: is the PRMS critic's ~51% MXU the L=50 attention
+    padding? Time the 12-block ViT body forward at L in {50, 56, 64} (same
+    width/heads; extra tokens are pure padding) at PRMS-critic scale
+    (256 concurrent 224px images = B64 x S4 scorings). If a padded L runs
+    FASTER in absolute terms, wire masked padding into VisionTransformer;
+    if each L costs proportionally more, the padding hypothesis is wrong and
+    the ceiling is elsewhere."""
+    from tris_tpu.models.layers import ResidualAttentionBlock
+
+    C, H, NB = 768, 12, 12
+    for N in (48, 256):
+        base = None
+        for L in (50, 56, 64):
+            class Body(__import__("flax").linen.Module):
+                @__import__("flax").linen.compact
+                def __call__(self, x):
+                    for i in range(NB):
+                        x = ResidualAttentionBlock(C, H, jnp.bfloat16, name=f"b{i}")(x)
+                    return x[:, 0]
+
+            body = Body()
+            key = jax.random.PRNGKey(0)
+            v = jax.jit(lambda k, b=body, l=L: b.init(k, jnp.zeros((1, l, C), jnp.bfloat16)))(key)
+            fwd = jax.jit(lambda vv, x, b=body: b.apply(vv, x))
+            xs = [jax.random.normal(k, (N, L, C), jnp.bfloat16)
+                  for k in jax.random.split(key, 2)]
+            jax.block_until_ready(xs)
+            ms = _time(lambda x, vv=v, f=fwd: f(vv, x), xs, iters=50)
+            base = base or ms
+            print(f"seq_pad N={N} L={L}: {ms:.3f} ms/batch  ({ms / base:.3f}x vs L=50)")
+
+
+def exp_attnpool_text():
+    """VERDICT r3 weak #6, second part: roofline the two eval-forward blocks
+    that had none — RN50 attnpool (full HW+1 self-attention at 10x10 for
+    320px) and the RN50 text tower ([N, 20] -> 12 x 512-wide blocks) — at
+    eval-shape batches, with FLOP counts, so PERF_NOTES can state measured
+    TFLOP/s instead of assertions."""
+    from tris_tpu.models.layers import AttentionPool2d, ResidualAttentionBlock, causal_mask
+
+    # attnpool at eval: B=128 refs share the trunk, [128, 10, 10, 2048]
+    N, Hs, Ws, C, out = 128, 10, 10, 2048, 1024
+    pool = AttentionPool2d(spacial_dim=7, embed_dim=C, num_heads=32,
+                           output_dim=out, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(lambda k: pool.init(k, jnp.zeros((1, Hs, Ws, C), jnp.bfloat16)))(key)
+    fwd = jax.jit(lambda vv, x: pool.apply(vv, x)[1])
+    xs = [jax.random.normal(k, (N, Hs, Ws, C), jnp.bfloat16) for k in jax.random.split(key, 2)]
+    jax.block_until_ready(xs)
+    ms = _time(lambda x: fwd(v, x), xs, iters=50)
+    L = Hs * Ws + 1
+    # qkv+out projections: 4 * L*C*C*2; q/k/v use embed C; out proj C->out
+    flops = N * (3 * L * C * C * 2 + L * C * out * 2 + 2 * L * L * C * 2)
+    print(f"attnpool [128,10,10,2048]: {ms:.3f} ms  ({flops / ms / 1e9:.1f} TFLOP/s)")
+
+    # text tower at eval: S=4 sentences x 128 refs = 512 sequences of L=20,
+    # 512-wide 8-head 12 blocks + embed/ln/proj (proj negligible)
+    Nt, Lt, Ct, NB = 512, 20, 512, 12
+
+    class Text(__import__("flax").linen.Module):
+        @__import__("flax").linen.compact
+        def __call__(self, x, mask):
+            for i in range(NB):
+                x = ResidualAttentionBlock(Ct, 8, jnp.bfloat16, name=f"b{i}")(x, mask)
+            return x
+
+    txt = Text()
+    mask = causal_mask(Lt, jnp.bfloat16)
+    vt = jax.jit(lambda k: txt.init(k, jnp.zeros((1, Lt, Ct), jnp.bfloat16), mask))(key)
+    fwdt = jax.jit(lambda vv, x: txt.apply(vv, x, mask))
+    xts = [jax.random.normal(k, (Nt, Lt, Ct), jnp.bfloat16) for k in jax.random.split(key, 2)]
+    jax.block_until_ready(xts)
+    mst = _time(lambda x: fwdt(vt, x), xts, iters=50)
+    flops_t = Nt * NB * (4 * Lt * Ct * Ct * 2 + 2 * Lt * Ct * 4 * Ct * 2 + 2 * Lt * Lt * Ct * 2)
+    # weight-read floor: 12 blocks x ~12*C^2 params in bf16
+    wbytes = NB * 12 * Ct * Ct * 2
+    print(f"text tower [512,20,512]: {mst:.3f} ms  ({flops_t / mst / 1e9:.1f} TFLOP/s; "
+          f"weight-read floor at 819 GB/s = {wbytes / 819e9 * 1e3:.3f} ms)")
+
+
 EXPS = {
     "img_fwd": exp_img_fwd,
+    "seq_pad": exp_seq_pad,
+    "attnpool_text": exp_attnpool_text,
     "img_fwd_bwd": exp_img_fwd_bwd,
     "vit_prefix": exp_vit_prefix,
     "text_batching": exp_text_batching,

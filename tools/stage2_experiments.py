@@ -34,26 +34,6 @@ def _ids(n):
     return jnp.asarray(ids)
 
 
-def _time(fn, inputs, iters=50, warmup=2):
-    """fn(*inputs) -> scalar-reducible array; relay-safe timing."""
-
-    @jax.jit
-    def chk(acc, out):
-        return acc + out.astype(jnp.float32).mean()
-
-    for _ in range(warmup):
-        out = fn(*inputs)
-    acc = jnp.zeros((), jnp.float32)
-    acc = chk(acc, out)
-    float(acc)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*inputs)
-        acc = chk(acc, out)
-    float(acc)
-    return (time.perf_counter() - t0) / iters
-
-
 def _stage2_setup(use_ema=False):
     from tris_tpu.models.stage2 import Stage2Config, TRISStage2
     from tris_tpu.train.stage2 import Stage2TrainConfig, make_train_step
@@ -110,7 +90,7 @@ def exp_step(use_ema=False, iters=50):
           f"{B / dt:.0f} img/s/chip")
 
 
-def exp_pieces():
+def exp_pieces(which="all"):
     """Loss-ablated steps: same train step, loss truncated at different depths,
     so each diff isolates one piece's fwd+bwd (+AdamW on its params)."""
     from tris_tpu.models.stage2 import Stage2Config, TRISStage2
@@ -164,7 +144,6 @@ def exp_pieces():
         print(f"{name:32s} {dt * 1e3:7.1f} ms/step  {B / dt:6.0f} img/s")
         return dt
 
-    which = getattr(exp_pieces, "which", "all")
     # full: all four side BCEs (the real no-EMA loss)
     if which in ("all", "full"):
         run("full (4xBCE)", lambda outs, b: sum(
@@ -226,24 +205,16 @@ def exp_trunk_anchor():
     print(f"trunk-only fwd/bwd+AdamW: {dt * 1e3:.1f} ms/step  {B / dt:.0f} img/s")
 
 
-def _pieces_one(which):
-    def f():
-        exp_pieces.which = which
-        exp_pieces()
-        exp_pieces.which = "all"
-    return f
-
-
 EXPS = {
     "profile": exp_profile,
     "profile_ema": lambda: exp_profile(True),
     "step": exp_step,
     "step_ema": lambda: exp_step(True),
     "pieces": exp_pieces,
-    "pieces_full": _pieces_one("full"),
-    "pieces_out4": _pieces_one("out4"),
-    "pieces_out1": _pieces_one("out1"),
-    "pieces_mean": _pieces_one("mean"),
+    "pieces_full": functools.partial(exp_pieces, which="full"),
+    "pieces_out4": functools.partial(exp_pieces, which="out4"),
+    "pieces_out1": functools.partial(exp_pieces, which="out1"),
+    "pieces_mean": functools.partial(exp_pieces, which="mean"),
     "trunk": exp_trunk_anchor,
 }
 

@@ -19,9 +19,19 @@ from tris_tpu.utils.logging import create_logger
 
 def main(args):
     logger = create_logger(jax.process_index())
-    model, variables = build_stage1(args, train=False)
+    stage = int(getattr(args, "stage", 1))
+    if stage == 2:
+        # --stage 2: evaluate the stage-2 encoder-decoder (the reference flips
+        # validate.py between model_stage1/2 by editing its import)
+        from tris_tpu.cli.common import build_stage2
+
+        if args.prms:
+            raise SystemExit("--prms scores stage-1 response maps; use --stage 1")
+        model, variables = build_stage2(args, train=False)
+    else:
+        model, variables = build_stage1(args, train=False)
     if args.pretrain:
-        variables = load_pretrained(args, model, variables, "stage1")
+        variables = load_pretrained(args, model, variables, f"stage{stage}")
     eval_vars = {k: variables[k] for k in ("params", "batch_stats") if k in variables}
 
     if args.dataset == "referit":

@@ -74,6 +74,10 @@ def get_parser() -> argparse.ArgumentParser:
     # model
     parser.add_argument("--backbone", default="clip-RN50", type=str)
     parser.add_argument("--hidden_dim", default=1024, type=int)
+    parser.add_argument("--stage", default=1, type=int, choices=(1, 2),
+                        help="which model cli/validate evaluates (the reference "
+                             "switches validate.py between model_stage1/2 by "
+                             "editing the import, validate.py:23-24)")
     # CAM dump (PRMS -> IRNet)
     parser.add_argument("--cam_save_dir", default=None, type=str)
     parser.add_argument("--name_save_dir", default=None, type=str)

@@ -199,12 +199,51 @@ def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
     return jax.lax.dynamic_slice(flat, (max_off,), (n * n,)).reshape(n, n)
 
 
+def _walk_defaults(k_sq, dtype, exp_times):
+    """Resolve the walk's performance knobs.
+
+    ``k_sq``: number of matrix squarings; the remaining ``2^(exp_times-k_sq)``
+    factors of T are applied as thin ``[K, HW] @ [HW, HW]`` steps. Algebraic
+    identity: ``x @ T^(2^e) == (((x @ S) @ S)...) with S = T^(2^k)`` applied
+    ``2^(e-k)`` times — squarings are FLOP-bound (2n^3 each), thin steps are
+    HBM-bound (one T read each). On v5e, ``k_sq=2`` is ~1.9x faster than the
+    all-squarings formulation even after the bf16 win below
+    (tools/walk_experiments.py: 397.7 -> 204.5 ms at the 128x128 bucket) —
+    but the reassociation moves final ins_seg labels on ~1-9% of fixture
+    pixels (in TRUE f32 it is benign — max_rel 2e-5, 100% label agreement —
+    the wobble comes from its interplay with bf16 operand rounding), so the
+    DEFAULT stays ``k_sq=exp_times`` (the reference formulation) and the
+    restructure is an explicit opt-in: env ``TRIS_WALK_KSQ``.
+
+    ``dtype``: storage dtype of T between matmuls. On TPU the default is
+    **bfloat16**, which is BIT-IDENTICAL to the f32 path there (XLA's default
+    matmul precision already feeds the MXU bf16 operands; measured max |d| =
+    0 over the full 128x128 bucket, tools/walk_experiments.py) while reading
+    half the HBM bytes: 729.7 -> 397.7 ms, 1.83x. On CPU (and any backend
+    whose f32 matmul is true f32 — the test mesh, parity runs) the default
+    stays float32: there bf16 storage is a REAL numerics change (91% label
+    agreement on the fixture). Env ``TRIS_WALK_DTYPE`` overrides either way.
+    """
+    import os
+
+    if k_sq is None:
+        k_sq = int(os.environ.get("TRIS_WALK_KSQ", str(exp_times)))
+    if dtype is None:
+        dtype = os.environ.get("TRIS_WALK_DTYPE")
+        if dtype is None:
+            dtype = "bfloat16" if jax.default_backend() in ("tpu", "axon") else "float32"
+    return int(k_sq), str(dtype)
+
+
 @functools.lru_cache(maxsize=16)
-def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int):
+def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
+                  k_sq: int, dtype: str):
     """One jitted program for the whole walk at a given bucket shape: edge ->
     path-max affinities -> banded dense build -> A^beta column-normalized ->
-    exp_times squarings -> [K, HW] @ trans. Cached per (radius, H, W, beta,
-    exp_times); jit itself specializes over K."""
+    min(k_sq, exp_times) squarings -> 2^(exp_times-k_sq) thin [K, HW] @ trans
+    steps. ``k_sq >= exp_times`` with dtype float32 is the reference
+    formulation (all squarings, one final matmul). Cached per config; jit
+    itself specializes over K."""
     hor, ver = W + 2 * radius, H + radius
     pi = _padded_path_index(radius, (ver, hor))
     ch = ver - pi.radius_floor
@@ -234,10 +273,24 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int):
             dense = dense[:-radius, radius:-radius, :-radius, radius:-radius]
             dense = dense.reshape(H * W, H * W)
 
-        trans = to_transition_matrix(dense, beta, exp_times)
-        x_masked = x * (1.0 - edge)[None]
-        rw = x_masked.reshape(K, H * W) @ trans
-        return rw.reshape(K, H, W)
+        cdtype = jnp.dtype(dtype)
+        scaled = jnp.power(dense, beta)
+        trans = (scaled / scaled.sum(axis=0, keepdims=True)).astype(cdtype)
+
+        k = min(k_sq, exp_times)
+
+        def sq(t, _):
+            return (t @ t).astype(cdtype), None
+
+        trans, _ = jax.lax.scan(sq, trans, None, length=k)
+
+        x_masked = (x * (1.0 - edge)[None]).reshape(K, H * W).astype(cdtype)
+
+        def thin(v, _):
+            return (v @ trans).astype(cdtype), None
+
+        rw, _ = jax.lax.scan(thin, x_masked, None, length=2 ** (exp_times - k))
+        return rw.astype(jnp.float32).reshape(K, H, W)
 
     return run
 
@@ -248,6 +301,8 @@ def propagate_to_edge(
     radius: int = 5,
     beta: float = 10.0,
     exp_times: int = 8,
+    k_sq: int | None = None,
+    dtype: str | None = None,
 ) -> jnp.ndarray:
     """Random-walk propagation of score maps along low-edge paths.
 
@@ -257,10 +312,13 @@ def propagate_to_edge(
     at the padded size, then cropped back before the matmul chain. The whole
     walk runs as ONE jitted program per (radius, shape), with the dense
     affinity assembled band-wise instead of by scatter
-    (see _banded_dense_affinity).
+    (see _banded_dense_affinity). ``k_sq``/``dtype`` trade squarings for thin
+    HBM-bound steps and T's storage precision (see :func:`_walk_defaults`);
+    pass ``k_sq=exp_times, dtype='float32'`` for the reference formulation.
     """
     K, H, W = x.shape
-    return _walk_program(int(radius), H, W, float(beta), int(exp_times))(x, edge)
+    k_sq, dtype = _walk_defaults(k_sq, dtype, int(exp_times))
+    return _walk_program(int(radius), H, W, float(beta), int(exp_times), k_sq, dtype)(x, edge)
 
 
 @functools.lru_cache(maxsize=8)
@@ -276,7 +334,8 @@ def propagate_to_edge_bucketed(
     exp_times: int = 8,
     bucket: int = 32,
     max_instances: int = 16,
-) -> np.ndarray:
+    device=None,
+) -> jnp.ndarray:
     """Shape-bucketed random walk: pads (H, W) up to multiples of ``bucket``
     and K up to ``max_instances`` so jit compiles once per bucket instead of
     once per image size.
@@ -285,15 +344,28 @@ def propagate_to_edge_bucketed(
     every path crossing them has affinity 1 - max(edge) = 0, the transition
     matrix gives them only a self-loop, and the source maps are zero there —
     the walk cannot enter or leave the pad region.
+
+    Returns the cropped [K, H, W] walk as a DEVICE array (dispatch is async;
+    ``np.asarray`` the result to synchronize). ``device`` pins the program to
+    one chip so a sharded ins_seg pass can drive every local device from
+    threads (make_ins_seg_labels.py:175-184 fans out the same way with one
+    process per GPU).
     """
     K, H, W = x.shape
     Hp = -(-H // bucket) * bucket
     Wp = -(-W // bucket) * bucket
     Kp = min(-(-K // max_instances) * max_instances, max(K, max_instances))
-    x_p = np.zeros((Kp, Hp, Wp), np.float32)
-    x_p[:K, :H, :W] = x
-    edge_p = np.ones((Hp, Wp), np.float32)
-    edge_p[:H, :W] = edge
-    rw = propagate_to_edge(jnp.asarray(x_p), jnp.asarray(edge_p),
-                           radius=radius, beta=beta, exp_times=exp_times)
-    return np.asarray(rw)[:K, :H, :W]
+    if isinstance(x, np.ndarray):
+        x_p = np.zeros((Kp, Hp, Wp), np.float32)
+        x_p[:K, :H, :W] = x
+        x_p = jax.device_put(x_p, device)
+    else:  # already on device: pad there
+        x_p = jnp.pad(x.astype(jnp.float32), ((0, Kp - K), (0, Hp - H), (0, Wp - W)))
+    if isinstance(edge, np.ndarray):
+        edge_p = np.ones((Hp, Wp), np.float32)
+        edge_p[:H, :W] = edge
+        edge_p = jax.device_put(edge_p, device)
+    else:  # already on device: pad there (avoids a host round-trip)
+        edge_p = jnp.pad(edge, ((0, Hp - H), (0, Wp - W)), constant_values=1.0)
+    rw = propagate_to_edge(x_p, edge_p, radius=radius, beta=beta, exp_times=exp_times)
+    return rw[:K, :H, :W]

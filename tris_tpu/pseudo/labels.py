@@ -159,6 +159,66 @@ def detect_instance(score_map: np.ndarray, masks: np.ndarray, class_ids: np.ndar
 # step 3: full per-image instance pseudo-mask generation
 # ---------------------------------------------------------------------------
 
+def walk_upsample_argmax(
+    instance_map: np.ndarray,
+    cam: np.ndarray,
+    edge,
+    orig_size: Tuple[int, int],
+    beta: float = 10.0,
+    exp_times: int = 8,
+    ins_seg_bg_thres: float = 0.25,
+    device=None,
+):
+    """Device half of the per-instance walk (make_ins_seg_labels.py:138-158):
+    resize the original-size CAM to the stride-4 grid, mask it per instance,
+    random-walk it along low-edge paths, upsample x4, max-normalize, and
+    bg-threshold argmax. Dispatch is ASYNC — returns device arrays
+    ``(rw_up [K, oh, ow], instance_shape [oh, ow])``; fetching them
+    synchronizes. ``edge`` may be a host or device array; ``device`` pins all
+    programs to one chip so a sharded pass can drive every local device.
+    """
+    import jax
+
+    oh, ow = orig_size
+    gh, gw = instance_map.shape[1:]
+    cam_d = jax.device_put(np.asarray(cam, np.float32), device)
+    cam_small = bilinear_resize(cam_d[None, None], (gh, gw), align_corners=True)[0, 0]
+    inst_d = jax.device_put(instance_map.astype(np.float32), device)
+    instance_cam = cam_small[None] * inst_d  # [K, gh, gw]
+
+    if isinstance(edge, np.ndarray):
+        edge = jax.device_put(np.asarray(edge, np.float32), device)
+    rw = propagate_to_edge_bucketed(
+        instance_cam, edge, radius=5, beta=beta, exp_times=exp_times, device=device,
+    )  # [K, gh, gw] device
+
+    rw_up = bilinear_resize(
+        rw[:, None], (gh * 4, gw * 4), align_corners=False
+    )[:, 0, :oh, :ow]
+    rw_up = rw_up / jnp.max(rw_up)
+    rw_up_bg = jnp.concatenate(
+        [jnp.full((1, oh, ow), ins_seg_bg_thres, rw_up.dtype), rw_up], axis=0
+    )
+    instance_shape = jnp.argmax(rw_up_bg, axis=0)
+    return rw_up, instance_shape
+
+
+def detect_from_walk(rw_up_np: np.ndarray, instance_shape_np: np.ndarray,
+                     orig_size: Tuple[int, int]) -> dict:
+    """Host half after the walk: one-hot the argmax'd instance shape, split
+    into connected fragments, score, drop <1%-of-image fragments
+    (make_ins_seg_labels.py:149-163). Returns the npy-dict contract
+    {'score', 'mask', 'class', 'cam'}."""
+    oh, ow = orig_size
+    K = rw_up_np.shape[0]
+    one_hot = _to_one_hot(instance_shape_np, maximum_val=K + 1)[1:]
+    class_ids = np.zeros((K,), np.int64)  # single 'referred' class
+    detected = detect_instance(rw_up_np, one_hot, class_ids,
+                               max_fragment_size=oh * ow * 0.01)
+    detected["cam"] = rw_up_np
+    return detected
+
+
 def make_instance_masks(
     edge: np.ndarray,
     disp: np.ndarray,
@@ -170,39 +230,14 @@ def make_instance_masks(
 ) -> dict:
     """edge: [h4, w4]; disp: [2, h4, w4]; cam: [oh, ow] (original size).
 
-    Returns the ins_seg dict (make_ins_seg_labels.py:119-163).
+    Returns the ins_seg dict (make_ins_seg_labels.py:119-163). Serial
+    convenience API; the sharded/pipelined pass (pseudo/pipeline.py::
+    run_make_ins_seg) drives the same stage functions directly.
     """
-    oh, ow = orig_size
     centroids = find_centroids_with_refinement(disp)
     instance_map = cluster_centroids(centroids, disp)  # [K, h4, w4]
-    K = instance_map.shape[0]
-
-    cam_small = np.asarray(
-        bilinear_resize(jnp.asarray(cam)[None, None], instance_map.shape[1:], align_corners=True)
-    )[0, 0]
-    instance_cam = cam_small[None] * instance_map.astype(np.float32)  # [K, h4, w4]
-
-    rw = propagate_to_edge_bucketed(
-        instance_cam.astype(np.float32), np.asarray(edge, np.float32),
-        radius=5, beta=beta, exp_times=exp_times,
-    )  # [K, h4, w4]
-    rw = jnp.asarray(rw)
-
-    rw_up = bilinear_resize(
-        rw[:, None], (rw.shape[1] * 4, rw.shape[2] * 4), align_corners=False
-    )[:, 0, :oh, :ow]
-    rw_up = rw_up / jnp.max(rw_up)
-    rw_up_bg = jnp.concatenate(
-        [jnp.full((1, oh, ow), ins_seg_bg_thres, rw_up.dtype), rw_up], axis=0
+    rw_up, instance_shape = walk_upsample_argmax(
+        instance_map, cam, np.asarray(edge, np.float32), orig_size,
+        beta=beta, exp_times=exp_times, ins_seg_bg_thres=ins_seg_bg_thres,
     )
-    instance_shape = np.asarray(jnp.argmax(rw_up_bg, axis=0))
-
-    num_instances = K
-    one_hot = _to_one_hot(instance_shape, maximum_val=num_instances + 1)[1:]
-    class_ids = np.zeros((num_instances,), np.int64)  # single 'referred' class
-
-    rw_up_np = np.asarray(rw_up)
-    detected = detect_instance(rw_up_np, one_hot, class_ids,
-                               max_fragment_size=oh * ow * 0.01)
-    detected["cam"] = rw_up_np
-    return detected
+    return detect_from_walk(np.asarray(rw_up), np.asarray(instance_shape), orig_size)

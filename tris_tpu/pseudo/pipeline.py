@@ -114,10 +114,24 @@ def run_cam_to_ir_label(cfg: PseudoConfig, names: Optional[List[str]] = None, pa
 
 
 def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_size: int,
-                      epochs: int, seed: int = 1234):
+                      epochs: int, seed: int = 1234, num_threads: Optional[int] = None):
     """Yield augmented affinity-training batches (ReferAffinityDataset
     equivalent: rescale(0.5,1.5) + hflip + random crop 512, quarter-scale
-    labels -> affinity labels)."""
+    labels -> affinity labels).
+
+    Batches are built by ``num_threads`` worker threads (default
+    ``cfg.num_workers``) and yielded in order while the device trains on the
+    previous one — the reference feeds this trainer with DataLoader workers
+    (train_irn.py:33-45); a single-threaded synchronous build costs ~0.3 s of
+    host work per bs-24 batch and starves the step. A short final batch wraps
+    around to the epoch's first samples instead of being dropped, keeping one
+    compiled batch shape while consuming every example. Deterministic given
+    (seed, epoch, batch): every example's augs draw from a per-batch stream,
+    independent of thread scheduling.
+    """
+    import queue
+    import threading
+
     from tris_tpu.pseudo.aug import (
         affinity_labels_from_indices,
         pil_rescale,
@@ -126,34 +140,76 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
         random_scale_pair,
     )
 
-    rng = np.random.default_rng(seed)
+    num_threads = cfg.num_workers if num_threads is None else num_threads
     n = len(names)
-    for epoch in range(epochs):
-        order = rng.permutation(n)
-        for start in range(0, n - batch_size + 1, batch_size):
-            imgs, bgs, fgs, negs = [], [], [], []
-            for i in order[start : start + batch_size]:
-                name = names[i]
-                img = load_raw_image(cfg, name)
-                label = np.asarray(Image.open(os.path.join(cfg.ir_label_dir, name + ".png")))
-                img, label = random_scale_pair(img, label, (0.5, 1.5), rng)
-                img = normalize_image(img)
-                img, label = random_lr_flip_pair(img, label, rng)
-                img, label = random_crop_pair(img, label, cfg.crop_size, rng)
-                reduced = pil_rescale(label, 0.25, 0)
-                bg, fg, neg = affinity_labels_from_indices(
-                    reduced, path_index.src_indices, path_index.dst_indices
-                )
-                imgs.append(img)
-                bgs.append(bg)
-                fgs.append(fg)
-                negs.append(neg)
-            yield {
-                "image": np.stack(imgs).astype(np.float32),
-                "aff_bg_pos": np.stack(bgs),
-                "aff_fg_pos": np.stack(fgs),
-                "aff_neg": np.stack(negs),
-            }
+    nb_per_epoch = -(-n // batch_size)  # ceil: the final short batch wraps
+
+    epoch_rng = np.random.default_rng(seed)
+    orders = [epoch_rng.permutation(n) for _ in range(epochs)]
+
+    def make_batch(epoch: int, b: int) -> dict:
+        order = orders[epoch]
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        if len(idxs) < batch_size:  # wrap the final short batch (tiled if n < bs)
+            idxs = np.concatenate([idxs, np.resize(order, batch_size - len(idxs))])
+        rng = np.random.default_rng((seed * 1000003 + epoch * 131 + b) % (2 ** 63))
+        imgs, bgs, fgs, negs = [], [], [], []
+        for i in idxs:
+            name = names[i]
+            img = load_raw_image(cfg, name)
+            label = np.asarray(Image.open(os.path.join(cfg.ir_label_dir, name + ".png")))
+            img, label = random_scale_pair(img, label, (0.5, 1.5), rng)
+            img = normalize_image(img)
+            img, label = random_lr_flip_pair(img, label, rng)
+            img, label = random_crop_pair(img, label, cfg.crop_size, rng)
+            reduced = pil_rescale(label, 0.25, 0)
+            bg, fg, neg = affinity_labels_from_indices(
+                reduced, path_index.src_indices, path_index.dst_indices
+            )
+            imgs.append(img)
+            bgs.append(bg)
+            fgs.append(fg)
+            negs.append(neg)
+        return {
+            "image": np.stack(imgs).astype(np.float32),
+            "aff_bg_pos": np.stack(bgs),
+            "aff_fg_pos": np.stack(fgs),
+            "aff_neg": np.stack(negs),
+        }
+
+    tasks = [(e, b) for e in range(epochs) for b in range(nb_per_epoch)]
+    if num_threads <= 1 or len(tasks) <= 1:
+        for e, b in tasks:
+            yield make_batch(e, b)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=num_threads)
+    stop = threading.Event()
+
+    def worker(tid: int):
+        for t in range(tid, len(tasks), num_threads):
+            if stop.is_set():
+                return
+            q.put((t, make_batch(*tasks[t])))
+
+    threads = [threading.Thread(target=worker, args=(t,), daemon=True)
+               for t in range(min(num_threads, len(tasks)))]
+    for t in threads:
+        t.start()
+    try:
+        pending, next_t, received = {}, 0, 0
+        while received < len(tasks):
+            t, batch = q.get()
+            pending[t] = batch
+            received += 1
+            while next_t in pending:
+                yield pending.pop(next_t)
+                next_t += 1
+        while next_t in pending:
+            yield pending.pop(next_t)
+            next_t += 1
+    finally:
+        stop.set()
 
 
 def run_train_irn(cfg: PseudoConfig, names: Optional[List[str]] = None,
@@ -175,7 +231,7 @@ def run_train_irn(cfg: PseudoConfig, names: Optional[List[str]] = None,
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3)))
     tcfg = IRNTrainConfig(crop_size=cfg.crop_size, radius=cfg.radius, lr=lr,
                           epochs=epochs, batch_size=batch_size)
-    max_step = (len(names) // batch_size) * epochs
+    max_step = -(-len(names) // batch_size) * epochs  # ceil: short batch wraps
     state = create_irn_state(model, variables, tcfg, max(max_step, 1))
     step_fn = make_irn_train_step(model, path_index)
 
@@ -203,44 +259,155 @@ def run_train_irn(cfg: PseudoConfig, names: Optional[List[str]] = None,
     return variables
 
 
-def run_make_ins_seg(cfg: PseudoConfig, variables=None, names: Optional[List[str]] = None, log=print):
-    import jax.numpy as jnp
+def _ins_seg_load(cfg: PseudoConfig, name: str):
+    """Host input stage: decode the image, normalize (or MSF-stack), load CAM."""
+    raw = load_raw_image(cfg, name)
+    oh, ow = raw.shape[:2]
+    if len(cfg.scales) == 1 and cfg.scales[0] == 1.0:
+        img = normalize_image(raw)  # default path: no stack allocations
+    else:
+        # MSF stacks at cfg.scales on the RAW image (rescale then normalize,
+        # as the reference does); like the reference (pack['img'][0]), only
+        # the first scale feeds inference — flip averaging is in the model.
+        from tris_tpu.pseudo.aug import multi_scale_flip_stacks
+
+        img = normalize_image(multi_scale_flip_stacks(raw, cfg.scales)[0][0])
+    cam = np.asarray(
+        np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True), np.float32
+    )
+    return name, (oh, ow), img, cam
+
+
+def _ins_seg_worker(cfg: PseudoConfig, model, variables, names: List[str], device,
+                    progress, io_threads: int = 2, depth: int = 1):
+    """Per-device ins_seg worker: a software pipeline where image k+1's device
+    programs (EdgeDisplacement forward, centroid-refinement scan, random walk)
+    are dispatched BEFORE image k's host work (connected components,
+    detect_instance, npy write) runs — jax dispatch is async, so host and
+    device overlap instead of serializing (the round-3 pass alternated them).
+
+    Stages per image:
+      S1 (device, async): edge/disp inference + centroid refinement
+      S2 (host):  fetch disp/centroids -> cluster_centroids (CCL)
+         (device, async): CAM resize+mask -> bucketed walk -> upsample/argmax
+      S3 (host):  fetch walk outputs -> detect_instance -> save npy
+    ``depth`` is how many images sit between a stage's dispatch and its fetch.
+    """
+    import collections
+
+    import jax
+
+    from tris_tpu.pseudo.irnet import edge_displacement_infer
+    from tris_tpu.pseudo.labels import (
+        _refine_centroids,
+        cluster_centroids,
+        detect_from_walk,
+        walk_upsample_argmax,
+    )
+
+    vars_d = jax.device_put(variables, device)
+    use_jit = os.environ.get("TRIS_IRN_JIT", "1") == "1"
+    from concurrent.futures import ThreadPoolExecutor
+
+    q1: collections.deque = collections.deque()
+    q2: collections.deque = collections.deque()
+
+    def s1(item):
+        name, osize, img, cam = item
+        img_d = jax.device_put(img, device)
+        edge, disp = edge_displacement_infer(model, vars_d, img_d, jit=use_jit)
+        cents = _refine_centroids(disp)
+        q1.append((name, osize, cam, edge, disp, cents))
+
+    def s2():
+        name, osize, cam, edge, disp, cents = q1.popleft()
+        instance_map = cluster_centroids(np.asarray(cents), np.asarray(disp))
+        rw_up, shape = walk_upsample_argmax(
+            instance_map, cam, edge, osize,
+            beta=cfg.beta, exp_times=cfg.exp_times,
+            ins_seg_bg_thres=cfg.ins_seg_bg_thres, device=device,
+        )
+        q2.append((name, osize, rw_up, shape))
+
+    def s3():
+        name, osize, rw_up, shape = q2.popleft()
+        detected = detect_from_walk(np.asarray(rw_up), np.asarray(shape), osize)
+        np.save(os.path.join(cfg.ins_seg_dir, name + ".npy"), detected)  # dict npy
+        progress(name)
+
+    with ThreadPoolExecutor(max_workers=max(1, io_threads)) as io:
+        for item in io.map(lambda n: _ins_seg_load(cfg, n), names):
+            s1(item)
+            if len(q1) > depth:
+                s2()
+            if len(q2) > depth:
+                s3()
+        while q1:
+            s2()
+            if len(q2) > depth:
+                s3()
+        while q2:
+            s3()
+
+
+def run_make_ins_seg(cfg: PseudoConfig, variables=None, names: Optional[List[str]] = None,
+                     log=print, devices=None, num_shards: Optional[int] = None,
+                     shard_idx: Optional[int] = None, depth: int = 1):
+    """Instance pseudo-mask generation, sharded over devices and pipelined.
+
+    Mirrors the reference's multi-GPU fan-out (make_ins_seg_labels.py:111-117,
+    175-184: ``multiprocessing.spawn`` over strided ``split_dataset`` shards)
+    the TPU way: the name list is strided first across PROCESSES
+    (``jax.process_index``), then across each process's LOCAL DEVICES with one
+    worker thread per chip; within a worker, host and device work are
+    pipelined (see :func:`_ins_seg_worker`). Outputs are identical to the
+    serial pass — every image's programs and host steps are unchanged, only
+    overlapped.
+
+    ``num_shards``/``shard_idx`` override the process-level striding for
+    external sharding (e.g. a job array); ``devices`` restricts the chips.
+    """
+    import jax
 
     from tris_tpu.ckpt.io import load_variables
-    from tris_tpu.pseudo.irnet import IRNet, edge_displacement_infer
-    from tris_tpu.pseudo.labels import make_instance_masks
+    from tris_tpu.pseudo.irnet import IRNet
 
     names = names if names is not None else load_names(cfg)
+    if num_shards is None:
+        num_shards, shard_idx = jax.process_count(), jax.process_index()
+    if num_shards > 1:
+        names = names[shard_idx :: num_shards]  # strided split (torchutils.py:66-68)
     if variables is None:
         variables = load_variables(cfg.irn_weights)
     model = IRNet()
     os.makedirs(cfg.ins_seg_dir, exist_ok=True)
 
-    for i, name in enumerate(names):
-        raw = load_raw_image(cfg, name)
-        oh, ow = raw.shape[:2]
-        if len(cfg.scales) == 1 and cfg.scales[0] == 1.0:
-            img = normalize_image(raw)  # default path: no stack allocations
-        else:
-            # MSF stacks at cfg.scales on the RAW image (rescale then
-            # normalize, as the reference does); like the reference
-            # (pack['img'][0]), only the first scale feeds inference — flip
-            # averaging is inside the model.
-            from tris_tpu.pseudo.aug import multi_scale_flip_stacks
+    devices = list(devices) if devices is not None else jax.local_devices()
+    devices = devices[: max(1, len(names))]
 
-            img = normalize_image(multi_scale_flip_stacks(raw, cfg.scales)[0][0])
-        # jit compiles once per distinct image shape (worth it: COCO-style
-        # sets have few distinct sizes, each reused hundreds of times);
-        # TRIS_IRN_JIT=0 falls back to op-by-op for many-sized datasets
-        edge, disp = edge_displacement_infer(
-            model, variables, jnp.asarray(img),
-            jit=os.environ.get("TRIS_IRN_JIT", "1") == "1")
-        cam = np.asarray(np.load(os.path.join(cfg.cam_dir, name + ".npy"), allow_pickle=True),
-                         np.float32)
-        detected = make_instance_masks(
-            np.asarray(edge), np.asarray(disp), cam, (oh, ow),
-            beta=cfg.beta, exp_times=cfg.exp_times, ins_seg_bg_thres=cfg.ins_seg_bg_thres,
-        )
-        np.save(os.path.join(cfg.ins_seg_dir, name + ".npy"), detected)  # dict npy
-        if (i + 1) % 50 == 0:
-            log(f"ins_seg {i + 1}/{len(names)}")
+    import threading
+
+    done = 0
+    lock = threading.Lock()
+
+    def progress(name):
+        nonlocal done
+        with lock:
+            done += 1
+            if done % 50 == 0:
+                log(f"ins_seg {done}/{len(names)}")
+
+    if len(devices) == 1:
+        _ins_seg_worker(cfg, model, variables, names, devices[0], progress, depth=depth)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(devices)) as pool:
+        futures = [
+            pool.submit(_ins_seg_worker, cfg, model, variables,
+                        names[d :: len(devices)], dev, progress, depth=depth)
+            for d, dev in enumerate(devices)
+        ]
+        for f in futures:
+            f.result()  # propagate worker exceptions

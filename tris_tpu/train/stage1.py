@@ -100,9 +100,12 @@ def make_train_step(model, critic, weights: Stage1LossWeights = Stage1LossWeight
                     chain: int = 1):
     """Build the jitted stage-1 train step: (state, batch, critic_vars) -> (state, metrics).
 
-    ``chain > 1`` runs that many optimizer steps on the SAME batch inside one
-    XLA program (a ``lax.scan`` over the train step; metrics are the last
-    step's). Used by bench.py to amortize per-dispatch host overhead — on a
+    ``chain > 1`` runs that many optimizer steps inside one XLA program: the
+    batch's leaves must carry a leading ``chain`` axis (``[chain, B, ...]``)
+    and a ``lax.scan`` consumes one slice per step (metrics are the last
+    step's). Scanning over per-step xs means NOTHING is loop-invariant — the
+    text towers etc. re-run every step exactly as the per-dispatch path does.
+    Used by bench.py to amortize per-dispatch host overhead — on a
     directly-attached TPU host one dispatch costs microseconds and chain=1 is
     equivalent, but through a relayed runtime dispatch can exceed the ~79 ms
     device step time and a chained program measures the chip, not the link.
@@ -117,11 +120,11 @@ def make_train_step(model, critic, weights: Stage1LossWeights = Stage1LossWeight
         return state, metrics
 
     if chain > 1:
-        def chained(state: TrainState, batch: dict, critic_vars) -> tuple:
-            def body(s, _):
-                return train_step(s, batch, critic_vars)
+        def chained(state: TrainState, batches: dict, critic_vars) -> tuple:
+            def body(s, b):
+                return train_step(s, b, critic_vars)
 
-            state, ms = jax.lax.scan(body, state, None, length=chain)
+            state, ms = jax.lax.scan(body, state, batches, length=chain)
             return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
         return jax.jit(chained, donate_argnums=(0,) if donate else ())

@@ -70,11 +70,12 @@ def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate:
                     chain: int = 1):
     """Build the jitted stage-2 train step: (state, batch) -> (state, metrics).
 
-    ``chain > 1`` runs that many optimizer steps on the SAME batch inside one
-    XLA program (``lax.scan`` over the step; metrics are the last step's) —
-    same relay-amortizing bench option as the stage-1 step
-    (train/stage1.py::make_train_step). The EMA counter/decay schedule sees
-    the same per-step ``state.step`` increments either way.
+    ``chain > 1`` runs that many optimizer steps inside one XLA program; the
+    batch's leaves must carry a leading ``chain`` axis (``[chain, B, ...]``)
+    and a ``lax.scan`` consumes one slice per step (metrics are the last
+    step's) — same de-hoisted relay-amortizing bench option as the stage-1
+    step (train/stage1.py::make_train_step). The EMA counter/decay schedule
+    sees the same per-step ``state.step`` increments either way.
     """
 
     def train_step(state: TrainState, batch: dict):
@@ -114,11 +115,8 @@ def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate:
         return state, metrics
 
     if chain > 1:
-        def chained(state: TrainState, batch: dict):
-            def body(s, _):
-                return train_step(s, batch)
-
-            state, ms = jax.lax.scan(body, state, None, length=chain)
+        def chained(state: TrainState, batches: dict):
+            state, ms = jax.lax.scan(train_step, state, batches, length=chain)
             return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
         return jax.jit(chained, donate_argnums=(0,) if donate else ())

@@ -2,8 +2,11 @@
 
 Re-design of `/root/reference/logger.py` (rank-0 stdout logger) and the
 tensorboardX scalar stream (`train_stage1.py:376-385`): scalars go to a JSONL
-file (always) and to TensorBoard via ``tf.summary`` when TensorFlow is
-importable.
+file (always — trivially machine-readable) and to TensorBoard event files
+when a writer backend is importable, so users with TB dashboards keep them.
+Backends are tried lightest-first: ``tensorboardX`` (the reference's own
+choice), ``torch.utils.tensorboard``, then ``tf.summary`` (a TensorFlow
+import costs ~13 s, so it is the last resort).
 """
 
 from __future__ import annotations
@@ -33,8 +36,42 @@ def create_logger(dist_rank: int = 0, name: str = "tris") -> logging.Logger:
     return logger
 
 
+def _make_tb_writer(log_dir: str):
+    """(add_scalar, flush, close) triple from the lightest importable
+    TensorBoard backend, or None. Gate with TRIS_TENSORBOARD=0."""
+    if os.environ.get("TRIS_TENSORBOARD", "1") == "0":
+        return None
+    try:
+        from tensorboardX import SummaryWriter  # the reference's backend
+
+        w = SummaryWriter(logdir=log_dir)
+        return w.add_scalar, w.flush, w.close
+    except Exception:
+        pass
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        w = SummaryWriter(log_dir=log_dir)
+        return w.add_scalar, w.flush, w.close
+    except Exception:
+        pass
+    try:
+        import tensorflow as tf
+
+        w = tf.summary.create_file_writer(log_dir)
+
+        def add_scalar(tag, value, step):
+            with w.as_default():
+                tf.summary.scalar(tag, value, step=step)
+
+        return add_scalar, w.flush, w.close
+    except Exception:
+        return None
+
+
 class MetricsWriter:
-    """Scalar writer: JSONL always; TensorBoard if available."""
+    """Scalar writer: JSONL always; TensorBoard event files if a backend is
+    importable (see _make_tb_writer)."""
 
     def __init__(self, log_dir: Optional[str]):
         self.log_dir = log_dir
@@ -43,12 +80,7 @@ class MetricsWriter:
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-            try:
-                import tensorflow as tf  # noqa: PLC0415
-
-                self._tb = tf.summary.create_file_writer(log_dir)
-            except Exception:
-                self._tb = None
+            self._tb = _make_tb_writer(log_dir)
 
     def scalar(self, tag: str, value: float, step: int):
         if self._jsonl is not None:
@@ -56,10 +88,7 @@ class MetricsWriter:
                 {"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}
             ) + "\n")
         if self._tb is not None:
-            import tensorflow as tf
-
-            with self._tb.as_default():
-                tf.summary.scalar(tag, float(value), step=int(step))
+            self._tb[0](tag, float(value), int(step))
 
     def scalars(self, values: dict, step: int, prefix: str = ""):
         for k, v in values.items():
@@ -69,8 +98,11 @@ class MetricsWriter:
         if self._jsonl is not None:
             self._jsonl.flush()
         if self._tb is not None:
-            self._tb.flush()
+            self._tb[1]()
 
     def close(self):
         if self._jsonl is not None:
             self._jsonl.close()
+        if self._tb is not None:
+            self._tb[1]()
+            self._tb[2]()
