@@ -121,6 +121,40 @@ def test_walk_thin_step_restructure_exact_in_f32(rng):
     assert (_walk_labels(fast) == _walk_labels(ref)).mean() >= 0.999
 
 
+def test_block_banded_squarings_match_dense(rng):
+    """The block-banded leading squarings (TPU default, TRIS_WALK_BANDSQ)
+    skip only exactly-zero blocks of the banded transition matrix, so they
+    must reproduce dense ``T^(2^k)`` — bit-identical on TPU (same ascending
+    accumulation order), to reassociation rounding on CPU."""
+    n, bs, max_off, k = 512, 32, 40, 2
+    t = rng.random((n, n)).astype(np.float32)
+    i = np.arange(n)
+    t[np.abs(i[:, None] - i[None, :]) > max_off] = 0.0  # band structure
+    t /= t.sum(0, keepdims=True)
+
+    dense = jnp.asarray(t)
+    for _ in range(k):
+        dense = dense @ dense
+    banded = our_idx._block_banded_squarings(
+        jnp.asarray(t), max_off, k, jnp.float32, bs=bs)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_banded_sq_plan_bounds():
+    """Plan must stop before the doubled band violates the flat-slice
+    assembly bound and must refuse non-divisible / small grids."""
+    # 128x128 bucket at radius 5: max_off = 4*128 + 4
+    assert our_idx._banded_sq_plan(128 * 128, 4 * 128 + 4, 8) == 3
+    assert our_idx._banded_sq_plan(1000, 100, 8) == 0      # n % bs != 0
+    assert our_idx._banded_sq_plan(4096, 100, 8) == 0      # nb < 8
+    # plan k respects the assembly bound for the final band width
+    n, max_off = 128 * 128, 4 * 128 + 4
+    kb = our_idx._banded_sq_plan(n, max_off, 8)
+    p = -(-max_off // 1024) * 2 ** kb
+    assert 2 * p + 1 <= (n // 1024) + 1
+
+
 @pytest.mark.parametrize("W", [8, 4])
 def test_propagate_to_edge_parity_narrow_grid(ref_indexing, rng, W):
     """Narrow grids where distinct directions share a flat band offset

@@ -63,7 +63,7 @@ def dense_affinity(edge, radius=5):
     return build(edge)
 
 
-def variant(k_sq, dtype, beta=10.0, e=8, thin_hp=False):
+def variant(k_sq, dtype, beta=10.0, e=8, thin_hp=False, bandsq=0, max_off=0):
     """Build jitted walk tail: (dense_aff, x_flat) -> rw, with k_sq squarings
     then 2^(e-k_sq) thin steps, matmuls in `dtype` (normalize stays f32).
     ``thin_hp``: thin steps at f32 v + Precision.HIGHEST (they are HBM-bound
@@ -76,10 +76,16 @@ def variant(k_sq, dtype, beta=10.0, e=8, thin_hp=False):
         trans = scaled / scaled.sum(axis=0, keepdims=True)
         trans = trans.astype(dtype)
 
+        kb = bandsq
+        if kb:
+            from tris_tpu.pseudo.indexing import _block_banded_squarings
+
+            trans = _block_banded_squarings(trans, max_off, kb, dtype)
+
         def sq(t, _):
             return (t @ t).astype(dtype), None
 
-        trans, _ = jax.lax.scan(sq, trans, None, length=k_sq)
+        trans, _ = jax.lax.scan(sq, trans, None, length=k_sq - kb)
 
         if thin_hp:
             tf = trans.astype(jnp.float32)
@@ -120,15 +126,22 @@ def main():
     ref = np.asarray(ref_run(dense, xf))
     ref_labels = labels_from(ref, K, H, W)
 
-    variants = [("f32", 8, jnp.float32, False),
-                ("bf16", 8, jnp.bfloat16, False),
-                ("f32+hp", 2, jnp.float32, True),
-                ("bf16+hp", 2, jnp.bfloat16, True),
-                ("bf16+hp", 3, jnp.bfloat16, True),
-                ("bf16+hp", 4, jnp.bfloat16, True)]
+    from tris_tpu.pseudo.indexing import _banded_sq_plan, _padded_path_index
+
+    radius = 5
+    pi = _padded_path_index(radius, (H + radius, W + 2 * radius))
+    max_off = max(int(dy) * W + int(dx) for dy, dx in np.asarray(pi.search_dst, np.int64))
+    kb_plan = _banded_sq_plan(n, max_off, 8)
+    print(f"max_off={max_off}, banded squarings planned: {kb_plan}")
+
+    variants = [("f32", 8, jnp.float32, False, 0),
+                ("bf16", 8, jnp.bfloat16, False, 0),
+                ("bf16+band", 8, jnp.bfloat16, False, kb_plan),
+                ("bf16+hp", 2, jnp.bfloat16, True, 0),
+                ("bf16+hp+band", 2, jnp.bfloat16, True, min(kb_plan, 2))]
     results = []
-    for dname, k, dtype, thin_hp in variants:
-        run = variant(k, dtype, thin_hp=thin_hp)
+    for dname, k, dtype, thin_hp, kb in variants:
+        run = variant(k, dtype, thin_hp=thin_hp, bandsq=kb, max_off=max_off)
         out = run(dense, xf)
         jax.block_until_ready(out)
         iters = 3

@@ -199,6 +199,94 @@ def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
     return jax.lax.dynamic_slice(flat, (max_off,), (n * n,)).reshape(n, n)
 
 
+def _banded_sq_plan(n: int, max_off: int, k_total: int, bs: int = 1024) -> int:
+    """How many leading squarings of the walk to run block-banded.
+
+    The transition matrix is banded (|i - j| <= max_off ~= 4W+4 at radius 5),
+    and squaring doubles the band: T^(2^s) has half-width 2^s * max_off. With
+    the matrix split into [bs, bs] blocks (block band p = ceil(width/bs)),
+    squaring s costs ``nb * (2p+1)^2`` block matmuls against the dense
+    ``nb^3`` — skipping only exactly-zero blocks. Banded squarings run while
+    (a) the band->dense flat-slice assembly stays valid after the squaring
+    (2*(2p)+1 <= nb+1) and (b) the FLOP win is >= 2x. At the 128x128 bucket
+    this plans 3 banded squarings: 47.7 vs 70.4 TFLOP for the whole walk.
+    """
+    if n % bs != 0:
+        return 0
+    nb = n // bs
+    if nb < 8:
+        return 0
+    p = -(-max_off // bs)
+    k = 0
+    while k < k_total:
+        if 2 * (2 * p) + 1 > nb + 1:  # assembly/band bound after this squaring
+            break
+        if nb * (2 * p + 1) ** 2 * 2 > nb ** 3:  # < 2x FLOP win: stop
+            break
+        k += 1
+        p *= 2
+    return k
+
+
+def _shift_blocks(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """[nb, bs, bs] -> same shape with result[I] = x[I + d] (zeros outside)."""
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.pad(x[d:], ((0, d), (0, 0), (0, 0)))
+    return jnp.pad(x[:d], ((-d, 0), (0, 0), (0, 0)))
+
+
+def _block_banded_squarings(trans: jnp.ndarray, max_off: int, k: int, dtype,
+                            bs: int = 1024) -> jnp.ndarray:
+    """Compute ``trans^(2^k)`` using the band structure, returning dense.
+
+    Exact: only blocks that are identically zero by the band structure are
+    skipped (x + 0 == x in fp), and within each output block the nonzero
+    contributions accumulate in the same ascending-k order as a dense matmul.
+    The per-diagonal representation ``diags[e][I] = block (I, I+e)`` is
+    extracted with strided slices, squared with batched einsums, and
+    re-assembled densely with the same flat-slice trick as
+    :func:`_banded_dense_affinity` lifted to block granularity.
+    """
+    n = trans.shape[0]
+    nb = n // bs
+    p = -(-max_off // bs)
+    cdtype = jnp.dtype(dtype)
+
+    flat = trans.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3).reshape(nb * nb, bs, bs)
+
+    def diag(e: int) -> jnp.ndarray:
+        if e >= 0:
+            d = flat[e :: nb + 1][: nb - e]
+            return jnp.pad(d, ((0, e), (0, 0), (0, 0)))
+        d = flat[-e * nb :: nb + 1][: nb + e]
+        return jnp.pad(d, ((-e, 0), (0, 0), (0, 0)))
+
+    diags = {e: diag(e) for e in range(-p, p + 1)}
+    for _ in range(k):
+        newp = 2 * p
+        nd = {}
+        for e in range(-newp, newp + 1):
+            acc = None
+            for d in range(max(-p, e - p), min(p, e + p) + 1):
+                # C[I, I+e] += A[I, I+d] @ A[I+d, (I+d)+(e-d)]; the cross-term
+                # sum stays f32 like a dense matmul's internal accumulator —
+                # rounding each block product to bf16 first costs 2e-2 rel
+                term = jnp.einsum(
+                    "nij,njk->nik", diags[d], _shift_blocks(diags[e - d], d),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = term if acc is None else acc + term
+            nd[e] = acc.astype(cdtype)
+        diags, p = nd, newp
+
+    band = jnp.stack([diags[e] for e in range(-p, p + 1)], axis=1)
+    band = jnp.pad(band, ((0, 0), (0, nb + 1 - (2 * p + 1)), (0, 0), (0, 0)))
+    dense_blocks = band.reshape(nb * (nb + 1), bs, bs)[p : p + nb * nb]
+    return dense_blocks.reshape(nb, nb, bs, bs).transpose(0, 2, 1, 3).reshape(n, n)
+
+
 def _walk_defaults(k_sq, dtype, exp_times):
     """Resolve the walk's performance knobs.
 
@@ -232,12 +320,21 @@ def _walk_defaults(k_sq, dtype, exp_times):
         dtype = os.environ.get("TRIS_WALK_DTYPE")
         if dtype is None:
             dtype = "bfloat16" if jax.default_backend() in ("tpu", "axon") else "float32"
-    return int(k_sq), str(dtype)
+    # block-banded leading squarings: skips only exactly-zero blocks, so the
+    # result is unchanged (bit-identical on TPU, tools/walk_experiments.py);
+    # default on for TPU, off elsewhere (CPU matmul accumulation order isn't
+    # tiled-ascending, so exactness there is only to reassociation rounding).
+    bandsq_env = os.environ.get("TRIS_WALK_BANDSQ")
+    if bandsq_env is None:
+        bandsq = jax.default_backend() in ("tpu", "axon")
+    else:
+        bandsq = bandsq_env == "1"
+    return int(k_sq), str(dtype), bandsq
 
 
 @functools.lru_cache(maxsize=16)
 def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
-                  k_sq: int, dtype: str):
+                  k_sq: int, dtype: str, bandsq: bool = False):
     """One jitted program for the whole walk at a given bucket shape: edge ->
     path-max affinities -> banded dense build -> A^beta column-normalized ->
     min(k_sq, exp_times) squarings -> 2^(exp_times-k_sq) thin [K, HW] @ trans
@@ -279,10 +376,15 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
 
         k = min(k_sq, exp_times)
 
+        max_off = max(int(dy) * W + int(dx) for dy, dx in dirs)
+        kb = _banded_sq_plan(H * W, max_off, k) if (bandsq and banded_ok) else 0
+        if kb:
+            trans = _block_banded_squarings(trans, max_off, kb, cdtype)
+
         def sq(t, _):
             return (t @ t).astype(cdtype), None
 
-        trans, _ = jax.lax.scan(sq, trans, None, length=k)
+        trans, _ = jax.lax.scan(sq, trans, None, length=k - kb)
 
         x_masked = (x * (1.0 - edge)[None]).reshape(K, H * W).astype(cdtype)
 
@@ -317,8 +419,10 @@ def propagate_to_edge(
     pass ``k_sq=exp_times, dtype='float32'`` for the reference formulation.
     """
     K, H, W = x.shape
-    k_sq, dtype = _walk_defaults(k_sq, dtype, int(exp_times))
-    return _walk_program(int(radius), H, W, float(beta), int(exp_times), k_sq, dtype)(x, edge)
+    k_sq, dtype, bandsq = _walk_defaults(k_sq, dtype, int(exp_times))
+    return _walk_program(
+        int(radius), H, W, float(beta), int(exp_times), k_sq, dtype, bandsq
+    )(x, edge)
 
 
 @functools.lru_cache(maxsize=8)

@@ -69,29 +69,47 @@ def cam_to_ir_label(
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def _refine_centroids(displacement: jnp.ndarray, iterations: int = 300) -> jnp.ndarray:
-    """displacement: [2, H, W] -> integer centroid coords [2, H, W]."""
+    """displacement: [2, H, W] -> integer centroid coords [2, H, W].
+
+    The reference iterates ``c += bilinear(disp, c)`` 300 times in NumPy
+    (make_ins_seg_labels.py:18-56). A direct transcription costs 8 separate
+    [H*W]-index gathers per iteration (4 bilinear corners x 2 fields) and is
+    VPU-gather-bound (~368 ms at the 128x128 grid). Since the field is
+    CONSTANT across iterations, the 2x2 corner values of both fields are
+    precomputed once as an 8-wide neighborhood table so each iteration is ONE
+    gather. Exactness: the reference samples corners at (floor, ceil); here
+    the table holds (floor, floor+1). Every term where they differ (the
+    coordinate is integral, ceil == floor != floor+1) carries weight
+    ``frac == 0``, and the out-of-range floor+1 column is edge-replicated so
+    the zero-weighted operand is finite — bit-identical results.
+    """
     H, W = displacement.shape[1:]
     cy0 = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
     cx0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
 
-    def sample(field, cy, cx):
-        uy = jnp.ceil(cy).astype(jnp.int32)
-        dy = jnp.floor(cy).astype(jnp.int32)
-        yc = cy - dy
-        ux = jnp.ceil(cx).astype(jnp.int32)
-        dx = jnp.floor(cx).astype(jnp.int32)
-        xc = cx - dx
-        return (
-            field[uy, ux] * yc * xc
-            + field[dy, ux] * (1 - yc) * xc
-            + field[uy, dx] * yc * (1 - xc)
-            + field[dy, dx] * (1 - yc) * (1 - xc)
-        )
+    # [H+1, W+1, 2] edge-replicated field, then the 4 corner shifts -> [HW, 8]
+    f = jnp.pad(displacement.transpose(1, 2, 0), ((0, 1), (0, 1), (0, 0)), mode="edge")
+    neigh = jnp.concatenate(
+        [f[:-1, :-1], f[:-1, 1:], f[1:, :-1], f[1:, 1:]], axis=-1
+    ).reshape(H * W, 8)  # per flat (y, x): [dy@(y,x), dx@(y,x), ..@(y,x+1), ..@(y+1,x), ..@(y+1,x+1)]
 
     def body(carry, _):
         cy, cx = carry
-        ny = jnp.clip(cy + sample(displacement[0], cy, cx), 0, H - 1)
-        nx = jnp.clip(cx + sample(displacement[1], cy, cx), 0, W - 1)
+        iy = jnp.floor(cy).astype(jnp.int32)
+        ix = jnp.floor(cx).astype(jnp.int32)
+        yc = (cy - iy)[..., None]
+        xc = (cx - ix)[..., None]
+        n = neigh[(iy * W + ix).reshape(-1)].reshape(H, W, 8)
+        # term order matches the pre-table formulation (and the reference's
+        # find_centroids_with_refinement) exactly — fp adds don't reassociate
+        v = (
+            n[..., 6:8] * yc * xc
+            + n[..., 2:4] * (1 - yc) * xc
+            + n[..., 4:6] * yc * (1 - xc)
+            + n[..., 0:2] * (1 - yc) * (1 - xc)
+        )
+        ny = jnp.clip(cy + v[..., 0], 0, H - 1)
+        nx = jnp.clip(cx + v[..., 1], 0, W - 1)
         return (ny, nx), None
 
     (cy, cx), _ = jax.lax.scan(body, (cy0, cx0), None, length=iterations)
