@@ -124,8 +124,9 @@ def test_walk_thin_step_restructure_exact_in_f32(rng):
 def test_block_banded_squarings_match_dense(rng):
     """The block-banded leading squarings (TPU default, TRIS_WALK_BANDSQ)
     skip only exactly-zero blocks of the banded transition matrix, so they
-    must reproduce dense ``T^(2^k)`` — bit-identical on TPU (same ascending
-    accumulation order), to reassociation rounding on CPU."""
+    must reproduce dense ``T^(2^k)`` to reassociation rounding (measured on
+    TPU at the production bucket: max_rel 1.6e-4, final labels identical —
+    tools/walk_experiments.py)."""
     n, bs, max_off, k = 512, 32, 40, 2
     t = rng.random((n, n)).astype(np.float32)
     i = np.arange(n)

@@ -241,9 +241,11 @@ def _block_banded_squarings(trans: jnp.ndarray, max_off: int, k: int, dtype,
                             bs: int = 1024) -> jnp.ndarray:
     """Compute ``trans^(2^k)`` using the band structure, returning dense.
 
-    Exact: only blocks that are identically zero by the band structure are
-    skipped (x + 0 == x in fp), and within each output block the nonzero
-    contributions accumulate in the same ascending-k order as a dense matmul.
+    Only blocks that are identically zero by the band structure are skipped
+    (x + 0 == x in fp); the nonzero contributions accumulate per output block
+    in ascending-k order in f32, which reassociates the MXU's internal
+    accumulation granularity — measured max_rel 1.6e-4 vs the dense chain on
+    TPU with IDENTICAL final ins_seg labels (tools/walk_experiments.py).
     The per-diagonal representation ``diags[e][I] = block (I, I+e)`` is
     extracted with strided slices, squared with batched einsums, and
     re-assembled densely with the same flat-slice trick as
@@ -320,10 +322,12 @@ def _walk_defaults(k_sq, dtype, exp_times):
         dtype = os.environ.get("TRIS_WALK_DTYPE")
         if dtype is None:
             dtype = "bfloat16" if jax.default_backend() in ("tpu", "axon") else "float32"
-    # block-banded leading squarings: skips only exactly-zero blocks, so the
-    # result is unchanged (bit-identical on TPU, tools/walk_experiments.py);
-    # default on for TPU, off elsewhere (CPU matmul accumulation order isn't
-    # tiled-ascending, so exactness there is only to reassociation rounding).
+    # block-banded leading squarings: skips only exactly-zero blocks, exact
+    # in real arithmetic; in fp the block-level partial sums reassociate the
+    # MXU's accumulation (measured max_rel 1.6e-4, final ins_seg labels
+    # IDENTICAL at the 128x128 bucket, tools/walk_experiments.py). Default on
+    # for TPU (396.6 -> 301.1 ms/walk), off elsewhere (no need on the f32
+    # test/parity mesh, where exactness bars are tighter).
     bandsq_env = os.environ.get("TRIS_WALK_BANDSQ")
     if bandsq_env is None:
         bandsq = jax.default_backend() in ("tpu", "axon")
