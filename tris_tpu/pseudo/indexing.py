@@ -136,9 +136,9 @@ def to_transition_matrix(dense_aff: jnp.ndarray, beta: float, times: int) -> jnp
     return trans
 
 
-def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
-                           H: int, W: int, woff: int) -> jnp.ndarray:
-    """Dense symmetric [HW, HW] affinity (unit diagonal) without any scatter.
+def _affinity_band(aff_grids: jnp.ndarray, dirs: np.ndarray,
+                   H: int, W: int, woff: int) -> Tuple[jnp.ndarray, int]:
+    """Symmetric [HW, HW] affinity (unit diagonal) in BAND form, no scatter.
 
     ``aff_grids``: [n_dirs, ch, cw] per-direction affinities on the padded
     src-window grid (src at window (r, c') = cropped pixel (r, c' - woff));
@@ -147,13 +147,15 @@ def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
     The affinity matrix is banded: direction (dy, dx) only writes the
     constant flat-index offset ``o = dy*W + dx`` (and its mirror ``-o``).
     Each band column is assembled with static slices/pads (the valid pairs
-    of a direction form a rectangle in the cropped grid), stacked into a
-    [width, HW] array, and expanded to dense with one pad+reshape: element
-    (i, k) of a zero-padded [HW, HW+1] band lands at flat ``i*(HW+1) + k``,
-    which scans the per-row diagonals of the [HW, HW] matrix shifted by one
-    per row — so a single flat slice materializes the dense matrix. This
-    replaces a 2x ~600k-element scatter into a padded [~18k, ~18k] buffer +
-    crop (measured 3x the cost of the 8 matmul squarings) with pure copies.
+    of a direction form a rectangle in the cropped grid) and stacked, giving
+    ``band[i, o + max_off] == dense[i, i + o]`` of shape [HW, 2*max_off+1]
+    (entries whose column ``i + o`` falls outside the matrix are zero by the
+    rectangle pads). Returns ``(band, max_off)``; :func:`_band_to_dense`
+    materializes the dense matrix from it. This replaces a 2x ~600k-element
+    scatter into a padded [~18k, ~18k] buffer + crop (measured 3x the cost
+    of the 8 matmul squarings) with pure copies — and on the block-banded
+    TPU path the dense matrix is never built at all before the squarings
+    (the walk prefix runs in band domain, see ``_walk_program``).
     """
     n = H * W
     max_off = max(int(dy) * W + int(dx) for dy, dx in dirs)
@@ -194,9 +196,26 @@ def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
     if prev < width:
         rows.append(jnp.zeros((width - prev, n), aff_grids.dtype))
     band = jnp.concatenate(rows, axis=0).T           # [HW, width]
+    return band, max_off
 
+
+def _band_to_dense(band: jnp.ndarray, max_off: int) -> jnp.ndarray:
+    """[HW, 2*max_off+1] band -> dense [HW, HW] with one pad + flat slice.
+
+    Element (i, k) of a zero-padded [HW, HW+1] band lands at flat
+    ``i*(HW+1) + k``, which scans the per-row diagonals of the [HW, HW]
+    matrix shifted by one per row — so a single flat slice materializes the
+    dense matrix (requires width <= HW+1, the caller's ``banded_ok``).
+    """
+    n, width = band.shape
     flat = jnp.pad(band, ((0, 0), (0, n + 1 - width))).reshape(-1)
     return jax.lax.dynamic_slice(flat, (max_off,), (n * n,)).reshape(n, n)
+
+
+def _banded_dense_affinity(aff_grids: jnp.ndarray, dirs: np.ndarray,
+                           H: int, W: int, woff: int) -> jnp.ndarray:
+    """Dense symmetric [HW, HW] affinity (unit diagonal) without any scatter."""
+    return _band_to_dense(*_affinity_band(aff_grids, dirs, H, W, woff))
 
 
 def _banded_sq_plan(n: int, max_off: int, k_total: int, bs: int = 1024) -> int:
@@ -266,6 +285,12 @@ def _block_banded_squarings(trans: jnp.ndarray, max_off: int, k: int, dtype,
         return jnp.pad(d, ((-e, 0), (0, 0), (0, 0)))
 
     diags = {e: diag(e) for e in range(-p, p + 1)}
+    diags, p = _blockdiags_square(diags, p, k, cdtype)
+    return _blockdiags_to_dense(diags, p, nb, bs)
+
+
+def _blockdiags_square(diags: dict, p: int, k: int, cdtype) -> Tuple[dict, int]:
+    """Square the block-band ``diags[e][I] = block (I, I+e)`` ``k`` times."""
     for _ in range(k):
         newp = 2 * p
         nd = {}
@@ -282,11 +307,44 @@ def _block_banded_squarings(trans: jnp.ndarray, max_off: int, k: int, dtype,
                 acc = term if acc is None else acc + term
             nd[e] = acc.astype(cdtype)
         diags, p = nd, newp
+    return diags, p
 
+
+def _blockdiags_to_dense(diags: dict, p: int, nb: int, bs: int) -> jnp.ndarray:
+    """Block-diagonal stacks -> dense [nb*bs, nb*bs] via the flat-slice trick
+    of :func:`_band_to_dense` lifted to block granularity."""
     band = jnp.stack([diags[e] for e in range(-p, p + 1)], axis=1)
     band = jnp.pad(band, ((0, 0), (0, nb + 1 - (2 * p + 1)), (0, 0), (0, 0)))
     dense_blocks = band.reshape(nb * (nb + 1), bs, bs)[p : p + nb * nb]
+    n = nb * bs
     return dense_blocks.reshape(nb, nb, bs, bs).transpose(0, 2, 1, 3).reshape(n, n)
+
+
+def _band_to_blockdiags(band: jnp.ndarray, max_off: int, p: int,
+                        bs: int) -> dict:
+    """Extract ``diags[e][I] = block (I, I+e)`` straight from the band.
+
+    Block (I, I+e) element (r, c) is ``dense[I*bs+r, (I+e)*bs+c] =
+    band[I*bs+r, e*bs + c - r + max_off]`` — a gather along the band's
+    offset axis with an index map that is the SAME for every block row I, so
+    each diagonal is one [nb, bs, bs] gather. Entries whose offset falls
+    outside the band (or whose column falls outside the matrix — zero in the
+    band by construction) are masked to 0. This avoids ever materializing
+    the dense [HW, HW] matrix before the banded squarings.
+    """
+    n, width = band.shape
+    nb = n // bs
+    bandr = band.reshape(nb, bs, width)
+    r = jnp.arange(bs)[:, None]
+    c = jnp.arange(bs)[None, :]
+    diags = {}
+    for e in range(-p, p + 1):
+        idx = e * bs + c - r + max_off                 # [bs, bs], iota-built
+        valid = (idx >= 0) & (idx < width)
+        g = jnp.take_along_axis(
+            bandr, jnp.clip(idx, 0, width - 1)[None], axis=2)  # [nb, bs, bs]
+        diags[e] = g * valid.astype(band.dtype)
+    return diags
 
 
 def _walk_defaults(k_sq, dtype, exp_times):
@@ -356,6 +414,10 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
     @jax.jit
     def run(x, edge):
         K = x.shape[0]
+        cdtype = jnp.dtype(dtype)
+        k = min(k_sq, exp_times)
+        max_off = max(int(dy) * W + int(dx) for dy, dx in dirs)
+        kb = _banded_sq_plan(H * W, max_off, k) if (bandsq and banded_ok) else 0
         edge_padded = jnp.pad(edge, ((0, radius), (radius, radius)),
                               constant_values=1.0)
         if banded_ok:
@@ -364,7 +426,37 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
                 gathered = edge_padded.reshape(-1)[jnp.asarray(ind)]
                 grids.append(1.0 - gathered.max(axis=1))  # [n_paths, n_pairs]
             aff_grids = jnp.concatenate(grids, axis=0).reshape(-1, ch, cw)
-            dense = _banded_dense_affinity(aff_grids, dirs, H, W, woff)
+            if bandsq:
+                # Band-domain prefix (TPU default): run pow + the column
+                # normalization on the [HW, 2*max_off+1] band (~3% of dense
+                # at the 128x128 bucket) instead of materializing the f32
+                # dense matrix first. The pre-normalization matrix is
+                # SYMMETRIC (each pair written both ways + unit diagonal)
+                # and pow is elementwise, so the dense COLUMN sums equal the
+                # band's ROW sums; band entry (i, o) then divides by
+                # colsum[i + o - max_off]. Elementwise identical to the
+                # dense prefix up to the column-sum reduction order (same
+                # multiset of nonzero terms — zeros add exactly — ordered by
+                # the compiler in both formulations).
+                band, _ = _affinity_band(aff_grids, dirs, H, W, woff)
+                n = H * W
+                band_pow = jnp.power(band, beta)
+                colsum = band_pow.sum(axis=1)   # >= 1 (unit diagonal)
+                col = jnp.clip(jnp.arange(n)[:, None]
+                               + jnp.arange(2 * max_off + 1)[None, :] - max_off,
+                               0, n - 1)        # clipped entries: numerator 0
+                tband = (band_pow / colsum[col]).astype(cdtype)
+                if kb:
+                    bs = 1024
+                    diags = _band_to_blockdiags(tband, max_off,
+                                                -(-max_off // bs), bs)
+                    diags, p = _blockdiags_square(diags, -(-max_off // bs),
+                                                  kb, cdtype)
+                    trans = _blockdiags_to_dense(diags, p, n // bs, bs)
+                else:
+                    trans = _band_to_dense(tband, max_off)
+            else:
+                dense = _banded_dense_affinity(aff_grids, dirs, H, W, woff)
         else:
             # tiny/degenerate grids where an offset spans multiple rows:
             # scatter build at padded size + crop (the original formulation)
@@ -374,16 +466,9 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
             dense = dense[:-radius, radius:-radius, :-radius, radius:-radius]
             dense = dense.reshape(H * W, H * W)
 
-        cdtype = jnp.dtype(dtype)
-        scaled = jnp.power(dense, beta)
-        trans = (scaled / scaled.sum(axis=0, keepdims=True)).astype(cdtype)
-
-        k = min(k_sq, exp_times)
-
-        max_off = max(int(dy) * W + int(dx) for dy, dx in dirs)
-        kb = _banded_sq_plan(H * W, max_off, k) if (bandsq and banded_ok) else 0
-        if kb:
-            trans = _block_banded_squarings(trans, max_off, kb, cdtype)
+        if not (banded_ok and bandsq):
+            scaled = jnp.power(dense, beta)
+            trans = (scaled / scaled.sum(axis=0, keepdims=True)).astype(cdtype)
 
         def sq(t, _):
             return (t @ t).astype(cdtype), None
