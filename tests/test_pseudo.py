@@ -142,6 +142,63 @@ def test_block_banded_squarings_match_dense(rng):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_band_prefix_walk_matches_dense_prefix(rng):
+    """The bandsq walk program runs pow + column normalization in BAND
+    domain ([HW, 2*max_off+1]) instead of materializing the dense matrix
+    first (see _walk_program). The band's row sums equal the dense column
+    sums (symmetry), so the two prefixes are elementwise identical up to
+    the column-sum reduction order — the full walk must agree to
+    reassociation rounding."""
+    for (H, W) in [(32, 32), (64, 64)]:
+        K = 4
+        x = jnp.asarray(rng.random((K, H, W)).astype(np.float32))
+        edge = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        f = our_idx._walk_program(5, H, W, 10.0, 4, 4, "float32", False)
+        g = our_idx._walk_program(5, H, W, 10.0, 4, 4, "float32", True)
+        a, b = np.asarray(f(x, edge)), np.asarray(g(x, edge))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 1e-4, (H, W, rel)
+
+
+def test_band_to_blockdiags_roundtrip_and_squarings(rng):
+    """`_band_to_blockdiags` extracts block diagonals straight from the
+    band (TPU bandsq+kb path — the dense matrix is never built before the
+    squarings). The extraction must be EXACT (pure gather of the same
+    entries) and the planned squarings must match the dense chain."""
+    H, W, radius = 32, 32, 5
+    n = H * W
+    pi = our_idx._padded_path_index(radius, (H + radius, W + 2 * radius))
+    ch = H + radius - pi.radius_floor
+    cw = W + 2 * radius - 2 * pi.radius_floor
+    woff = radius - pi.radius_floor
+    dirs = np.asarray(pi.search_dst, np.int64)
+    edge = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    ep = jnp.pad(edge, ((0, radius), (radius, radius)), constant_values=1.0)
+    grids = []
+    for ind in pi.path_indices:
+        g = ep.reshape(-1)[jnp.asarray(ind)]
+        grids.append(1.0 - g.max(axis=1))
+    aff_grids = jnp.concatenate(grids, axis=0).reshape(-1, ch, cw)
+    band, max_off = our_idx._affinity_band(aff_grids, dirs, H, W, woff)
+    dense = our_idx._band_to_dense(band, max_off)
+
+    for bs in (64, 128):
+        plan = our_idx._banded_sq_plan(n, max_off, 8, bs)
+        assert plan >= 1  # the squaring path is actually exercised
+        p = -(-max_off // bs)
+        nb = n // bs
+        d = our_idx._band_to_blockdiags(band, max_off, p, bs)
+        back = our_idx._blockdiags_to_dense(d, p, nb, bs)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(dense))
+        d2, p2 = our_idx._blockdiags_square(d, p, plan, jnp.float32)
+        got = our_idx._blockdiags_to_dense(d2, p2, nb, bs)
+        ref = dense
+        for _ in range(plan):
+            ref = ref @ ref
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_banded_sq_plan_bounds():
     """Plan must stop before the doubled band violates the flat-slice
     assembly bound and must refuse non-divisible / small grids."""
