@@ -114,7 +114,8 @@ def run_cam_to_ir_label(cfg: PseudoConfig, names: Optional[List[str]] = None, pa
 
 
 def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_size: int,
-                      epochs: int, seed: int = 1234, num_threads: Optional[int] = None):
+                      epochs: int, seed: int = 1234, num_threads: Optional[int] = None,
+                      process_index: int = 0, process_count: int = 1):
     """Yield augmented affinity-training batches (ReferAffinityDataset
     equivalent: rescale(0.5,1.5) + hflip + random crop 512, quarter-scale
     labels -> affinity labels).
@@ -128,6 +129,13 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
     compiled batch shape while consuming every example. Deterministic given
     (seed, epoch, batch): every example's augs draw from a per-batch stream,
     independent of thread scheduling.
+
+    Multihost: ``process_index``/``process_count`` stride each process into a
+    disjoint slice of the shared per-epoch permutation (the Loader /
+    DistributedSampler convention), truncated to ``n // process_count``
+    examples so every process yields the SAME number of batches — a multihost
+    step is a collective, so ragged per-process batch counts would deadlock.
+    ``batch_size`` stays the PER-PROCESS batch (parallel/mesh.py semantics).
     """
     import queue
     import threading
@@ -142,17 +150,27 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
 
     num_threads = cfg.num_workers if num_threads is None else num_threads
     n = len(names)
-    nb_per_epoch = -(-n // batch_size)  # ceil: the final short batch wraps
+    local_n = max(n // process_count, 1) if process_count > 1 else n
+    nb_per_epoch = -(-local_n // batch_size)  # ceil: the final short batch wraps
 
     epoch_rng = np.random.default_rng(seed)
     orders = [epoch_rng.permutation(n) for _ in range(epochs)]
+    if process_count > 1:
+        # strided DistributedSampler split, truncated/tiled to exactly
+        # local_n so every process yields the same batch count (np.resize
+        # tiles when a process's stride lands on < local_n names, e.g. more
+        # processes than names)
+        orders = [np.resize(o[process_index::process_count] if
+                            o[process_index::process_count].size else o,
+                            local_n) for o in orders]
 
     def make_batch(epoch: int, b: int) -> dict:
         order = orders[epoch]
         idxs = order[b * batch_size : (b + 1) * batch_size]
         if len(idxs) < batch_size:  # wrap the final short batch (tiled if n < bs)
             idxs = np.concatenate([idxs, np.resize(order, batch_size - len(idxs))])
-        rng = np.random.default_rng((seed * 1000003 + epoch * 131 + b) % (2 ** 63))
+        rng = np.random.default_rng(
+            (seed * 1000003 + epoch * 131 + b + process_index * 97003) % (2 ** 63))
         imgs, bgs, fgs, negs = [], [], [], []
         for i in idxs:
             name = names[i]
@@ -214,9 +232,19 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
 
 def run_train_irn(cfg: PseudoConfig, names: Optional[List[str]] = None,
                   epochs: int = 3, batch_size: int = 24, lr: float = 0.1, log=print):
+    """Affinity/displacement training, data-parallel over the device mesh.
+
+    The reference wraps this trainer in ``DataParallel`` and its recipe scales
+    it to 4 GPUs at global bs 96 (train_irn.py:38, README.md:127-142). Here the
+    PER-PROCESS batch is sharded over a ``Mesh`` under the jitted step, so
+    GSPMD inserts the gradient all-reduces (the trunk's BN is frozen, so there
+    is no SyncBN concern); multihost processes feed disjoint strided slices of
+    the shared permutation, matching the stage-1/2 trainers.
+    """
     import jax
 
     from tris_tpu.ckpt.io import save_variables
+    from tris_tpu.parallel.mesh import create_mesh_for_batch, replicate_tree, shard_batch
     from tris_tpu.pseudo.indexing import PathIndex
     from tris_tpu.pseudo.irnet import IRNet
     from tris_tpu.pseudo.train_irn import (
@@ -231,13 +259,22 @@ def run_train_irn(cfg: PseudoConfig, names: Optional[List[str]] = None,
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3)))
     tcfg = IRNTrainConfig(crop_size=cfg.crop_size, radius=cfg.radius, lr=lr,
                           epochs=epochs, batch_size=batch_size)
-    max_step = -(-len(names) // batch_size) * epochs  # ceil: short batch wraps
+    n_proc = jax.process_count()
+    local_n = max(len(names) // n_proc, 1) if n_proc > 1 else len(names)
+    max_step = -(-local_n // batch_size) * epochs  # ceil: short batch wraps
     state = create_irn_state(model, variables, tcfg, max(max_step, 1))
+    mesh = create_mesh_for_batch(batch_size)
+    if mesh.devices.size > 1 or n_proc > 1:
+        log(f"irn train: DP over {mesh.devices.size} local devices x {n_proc} processes "
+            f"(global batch {batch_size * n_proc})")
+    state = replicate_tree(mesh, state)
     step_fn = make_irn_train_step(model, path_index)
 
     it = 0
-    for batch in irn_train_batches(cfg, names, path_index, batch_size, epochs):
-        state, metrics = step_fn(state, batch)
+    for batch in irn_train_batches(cfg, names, path_index, batch_size, epochs,
+                                   process_index=jax.process_index(),
+                                   process_count=n_proc):
+        state, metrics = step_fn(state, shard_batch(mesh, batch))
         it += 1
         if it % 50 == 0:
             log(f"irn step {it}/{max_step} loss={float(metrics['loss']):.4f}")
