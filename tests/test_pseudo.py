@@ -143,9 +143,10 @@ def test_block_banded_squarings_match_dense(rng):
 
 
 def test_band_prefix_walk_matches_dense_prefix(rng):
-    """The bandsq walk program runs pow + column normalization in BAND
-    domain ([HW, 2*max_off+1]) instead of materializing the dense matrix
-    first (see _walk_program). The band's row sums equal the dense column
+    """The TRIS_WALK_BANDPREFIX opt-in runs pow + column normalization in
+    BAND domain ([HW, 2*max_off+1]) instead of materializing the dense
+    matrix first (see _walk_program; measured slower on TPU round 5, kept as
+    an exactness-pinned opt-in). The band's row sums equal the dense column
     sums (symmetry), so the two prefixes are elementwise identical up to
     the column-sum reduction order — the full walk must agree to
     reassociation rounding."""
@@ -153,8 +154,8 @@ def test_band_prefix_walk_matches_dense_prefix(rng):
         K = 4
         x = jnp.asarray(rng.random((K, H, W)).astype(np.float32))
         edge = jnp.asarray(rng.random((H, W)).astype(np.float32))
-        f = our_idx._walk_program(5, H, W, 10.0, 4, 4, "float32", False)
-        g = our_idx._walk_program(5, H, W, 10.0, 4, 4, "float32", True)
+        f = our_idx._walk_program(5, H, W, 10.0, 4, 4, "float32", False, False)
+        g = our_idx._walk_program(5, H, W, 10.0, 4, 4, "float32", False, True)
         a, b = np.asarray(f(x, edge)), np.asarray(g(x, edge))
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
         assert rel < 1e-4, (H, W, rel)
@@ -400,3 +401,28 @@ def test_ins_seg_multi_scale_consumption_path():
     np.testing.assert_allclose(img, normalize_image(raw), atol=1e-6)
     half = normalize_image(multi_scale_flip_stacks(raw, (0.5,))[0][0])
     assert half.shape == (20, 30, 3)
+
+
+def test_irnet_bf16_trunk_option(irnet_setup):
+    """``IRNet(trunk_dtype=bf16)`` must accept the SAME f32 variables
+    (params/stats stay f32 — FrozenBatchNorm computes its affine in f32 and
+    casts only the activation), return f32 outputs, and stay close to the
+    f32 trunk. NOT the production default: the round-5 gating A/B on the
+    real chip measured only 1.05x on the forward with 0.18% final
+    ins_seg-label movement — rejected (tools/irn_trunk_dtype_ab.py,
+    docs/PERF_NOTES.md round 5)."""
+    model, variables = irnet_setup
+    mbf = IRNet(trunk_dtype=jnp.bfloat16)
+    img = jnp.asarray(np.random.default_rng(3).standard_normal((64, 64, 3)), jnp.float32)
+    e32, d32 = edge_displacement_infer(model, variables, img)
+    ebf, dbf = edge_displacement_infer(mbf, variables, img)
+    assert ebf.dtype == jnp.float32 and dbf.dtype == jnp.float32
+    assert float(jnp.abs(e32 - ebf).max()) < 0.05
+    assert float(jnp.abs(d32 - dbf).max()) < 0.2
+    # params untouched by the option: a state dict initialized by the bf16
+    # model has the same leaves/dtypes (checkpoint compatibility)
+    vbf = mbf.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ref_leaves = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), variables)
+    bf_leaves = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vbf)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, ref_leaves, bf_leaves))

@@ -153,9 +153,10 @@ def _affinity_band(aff_grids: jnp.ndarray, dirs: np.ndarray,
     rectangle pads). Returns ``(band, max_off)``; :func:`_band_to_dense`
     materializes the dense matrix from it. This replaces a 2x ~600k-element
     scatter into a padded [~18k, ~18k] buffer + crop (measured 3x the cost
-    of the 8 matmul squarings) with pure copies — and on the block-banded
-    TPU path the dense matrix is never built at all before the squarings
-    (the walk prefix runs in band domain, see ``_walk_program``).
+    of the 8 matmul squarings) with pure copies. (A band-domain prefix that
+    never materializes dense before the squarings exists as the opt-in
+    ``TRIS_WALK_BANDPREFIX`` — measured slower than the dense prefix on TPU,
+    see ``_walk_defaults``.)
     """
     n = H * W
     max_off = max(int(dy) * W + int(dx) for dy, dx in dirs)
@@ -391,12 +392,22 @@ def _walk_defaults(k_sq, dtype, exp_times):
         bandsq = jax.default_backend() in ("tpu", "axon")
     else:
         bandsq = bandsq_env == "1"
-    return int(k_sq), str(dtype), bandsq
+    # band-domain PREFIX (pow + column-normalize on the [HW, 2*max_off+1]
+    # band, never materializing dense before the squarings): measured a
+    # REGRESSION on the real chip at the production 128x128 bucket
+    # (tools/walk_prefix_ab.py round 5: dense+bandsq 342 ms vs band+bandsq
+    # 481 ms — the band's gather-assembled normalize + blockdiag extraction
+    # costs more than the dense build it avoids), so the default is the
+    # dense prefix everywhere; opt-in via TRIS_WALK_BANDPREFIX=1 (exactness
+    # pinned by tests/test_pseudo.py::test_band_prefix_walk_matches_dense_prefix).
+    band_prefix = os.environ.get("TRIS_WALK_BANDPREFIX", "0") == "1"
+    return int(k_sq), str(dtype), bandsq, band_prefix
 
 
 @functools.lru_cache(maxsize=16)
 def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
-                  k_sq: int, dtype: str, bandsq: bool = False):
+                  k_sq: int, dtype: str, bandsq: bool = False,
+                  band_prefix: bool = False):
     """One jitted program for the whole walk at a given bucket shape: edge ->
     path-max affinities -> banded dense build -> A^beta column-normalized ->
     min(k_sq, exp_times) squarings -> 2^(exp_times-k_sq) thin [K, HW] @ trans
@@ -426,14 +437,16 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
                 gathered = edge_padded.reshape(-1)[jnp.asarray(ind)]
                 grids.append(1.0 - gathered.max(axis=1))  # [n_paths, n_pairs]
             aff_grids = jnp.concatenate(grids, axis=0).reshape(-1, ch, cw)
-            if bandsq:
-                # Band-domain prefix (TPU default): run pow + the column
-                # normalization on the [HW, 2*max_off+1] band (~3% of dense
-                # at the 128x128 bucket) instead of materializing the f32
-                # dense matrix first. The pre-normalization matrix is
-                # SYMMETRIC (each pair written both ways + unit diagonal)
-                # and pow is elementwise, so the dense COLUMN sums equal the
-                # band's ROW sums; band entry (i, o) then divides by
+            if band_prefix:
+                # Band-domain prefix (opt-in, TRIS_WALK_BANDPREFIX — measured
+                # SLOWER than the dense prefix on TPU, see _walk_defaults):
+                # run pow + the column normalization on the
+                # [HW, 2*max_off+1] band (~3% of dense at the 128x128
+                # bucket) instead of materializing the f32 dense matrix
+                # first. The pre-normalization matrix is SYMMETRIC (each
+                # pair written both ways + unit diagonal) and pow is
+                # elementwise, so the dense COLUMN sums equal the band's
+                # ROW sums; band entry (i, o) then divides by
                 # colsum[i + o - max_off]. Elementwise identical to the
                 # dense prefix up to the column-sum reduction order (same
                 # multiset of nonzero terms — zeros add exactly — ordered by
@@ -466,9 +479,15 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
             dense = dense[:-radius, radius:-radius, :-radius, radius:-radius]
             dense = dense.reshape(H * W, H * W)
 
-        if not (banded_ok and bandsq):
+        if not (banded_ok and band_prefix):
+            # dense prefix (default): pow + column-normalize the dense
+            # matrix, then run the leading kb squarings block-banded
+            # (dense+bandsq — the fastest measured formulation,
+            # tools/walk_prefix_ab.py: 342 ms vs 438 dense-sq / 481 band)
             scaled = jnp.power(dense, beta)
             trans = (scaled / scaled.sum(axis=0, keepdims=True)).astype(cdtype)
+            if kb:
+                trans = _block_banded_squarings(trans, max_off, kb, cdtype)
 
         def sq(t, _):
             return (t @ t).astype(cdtype), None
@@ -508,9 +527,10 @@ def propagate_to_edge(
     pass ``k_sq=exp_times, dtype='float32'`` for the reference formulation.
     """
     K, H, W = x.shape
-    k_sq, dtype, bandsq = _walk_defaults(k_sq, dtype, int(exp_times))
+    k_sq, dtype, bandsq, band_prefix = _walk_defaults(k_sq, dtype, int(exp_times))
     return _walk_program(
-        int(radius), H, W, float(beta), int(exp_times), k_sq, dtype, bandsq
+        int(radius), H, W, float(beta), int(exp_times), k_sq, dtype, bandsq,
+        band_prefix,
     )(x, edge)
 
 

@@ -32,7 +32,13 @@ from tris_tpu.pseudo.indexing import PathIndex, edge_to_affinity
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm that always uses stored statistics (resnet50.py:10-13)."""
+    """BatchNorm that always uses stored statistics (resnet50.py:10-13).
+
+    Params/stats are always f32 (checkpoint layout); the affine is computed
+    in f32 and the result cast back to the input's dtype, so a bf16 trunk
+    (see :class:`IRNet`'s ``trunk_dtype``) keeps its activations bf16 between
+    convs while the normalization math stays full-precision.
+    """
 
     features: int
     epsilon: float = 1e-5
@@ -40,12 +46,12 @@ class FrozenBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones_init(), (self.features,), self.dtype)
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.dtype)
-        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), self.dtype))
-        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), self.dtype))
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
         inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
-        return x * inv + (bias - mean.value * inv)
+        return (x.astype(jnp.float32) * inv + (bias - mean.value * inv)).astype(x.dtype)
 
 
 class TorchBottleneck(nn.Module):
@@ -102,12 +108,21 @@ def _up(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 class IRNet(nn.Module):
-    """Edge + displacement network over the frozen trunk (resnet50_irn.py:13-143)."""
+    """Edge + displacement network over the frozen trunk (resnet50_irn.py:13-143).
+
+    ``trunk_dtype`` runs the frozen R50 trunk's convs at that precision (the
+    ins_seg inference path uses bfloat16 on TPU — adoption gated on final
+    instance-label agreement, tools/irn_trunk_dtype_ab.py / docs/PERF_NOTES.md
+    round 5); the edge/displacement heads always compute in ``dtype`` (f32 —
+    their flax Convs promote the trunk features back up), and params stay f32
+    in both cases.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    trunk_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.trunk = ResNet50Trunk(dtype=self.dtype)
+        self.trunk = ResNet50Trunk(dtype=self.trunk_dtype or self.dtype)
 
         def gn_block(out_ch, groups, name):
             return (nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name=f"{name}_conv"),
