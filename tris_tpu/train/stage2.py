@@ -102,15 +102,20 @@ def make_train_step(model, cfg: Stage2TrainConfig = Stage2TrainConfig(), donate:
             )
             do_update = (counter % cfg.ema_update_every) == 0
 
-            def track(ema_tree, online_tree):
-                new = ema_update(ema_tree, online_tree, decay)
-                return jax.tree_util.tree_map(
-                    lambda e, n: jnp.where(do_update, n, e), ema_tree, new
-                )
-
+            # lax.cond (not jnp.where): on the (update_every-1)/update_every
+            # steps where ema_pytorch's counter gate skips the update, the
+            # false branch forwards the teacher trees untouched instead of
+            # streaming both ~430 MB f32 trees through HBM for a no-op select
+            # (measured round 5 in docs/PERF_NOTES.md).
+            new_ema_params, new_ema_stats = jax.lax.cond(
+                do_update,
+                lambda trees: (ema_update(trees[0], state.params, decay),
+                               ema_update(trees[1], state.batch_stats, decay)),
+                lambda trees: trees,
+                (state.ema_params, state.ema_batch_stats),
+            )
             state = state.replace(
-                ema_params=track(state.ema_params, state.params),
-                ema_batch_stats=track(state.ema_batch_stats, state.batch_stats),
+                ema_params=new_ema_params, ema_batch_stats=new_ema_stats,
             )
         return state, metrics
 

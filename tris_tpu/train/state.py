@@ -159,7 +159,17 @@ def create_train_state(
 
 
 def ema_update(ema_params, params, decay: float = 0.9999):
-    """EMA teacher update (reference uses ema_pytorch defaults, train_stage2.py:57-64)."""
+    """EMA teacher update (reference uses ema_pytorch defaults, train_stage2.py:57-64).
+
+    Each teacher leaf KEEPS its own dtype (the lerp runs in f32): a traced
+    f32 ``decay`` would otherwise promote low-precision leaves and change the
+    state pytree's types between steps — which the stage-2 step's
+    ``lax.cond`` gate (both branches must match) and ``lax.scan`` chain mode
+    (carry type stability) both reject, and which silently forced a second
+    compile of the old ``jnp.where`` formulation.
+    """
     return jax.tree_util.tree_map(
-        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema_params, params
+        lambda e, p: (e.astype(jnp.float32) * decay
+                      + p.astype(jnp.float32) * (1.0 - decay)).astype(e.dtype),
+        ema_params, params,
     )
