@@ -98,10 +98,11 @@ def _train_miou(model, variables, root):
     return res["mIoU"], res["hit"]
 
 
-def test_stage1_overfit_improves_train_miou(learnable_root):
-    """Overfit steps on the learnable fixture must lift train-split mIoU
-    clearly above the untrained model's (which emits all-zero relu maps ->
-    mIoU 0; measured: ~13.5 mIoU after 120 steps).
+@pytest.fixture(scope="module")
+def stage1_trained(learnable_root):
+    """120 overfit steps of tiny stage-1 on the learnable fixture, shared by
+    the overfit assertion and the pipeline-adds-value e2e below (the training
+    run is the expensive part; measured ~13.5 train mIoU).
 
     Trains with the batch-contrastive term dominant (w1=w5=0): the critic
     terms only carry meaning with a *pretrained* critic — with the tiny
@@ -123,8 +124,6 @@ def test_stage1_overfit_improves_train_miou(learnable_root):
     variables = model.init(key, init_img, init_ids, train=True)
     critic_vars = critic.init(key, jnp.zeros((1, 64, 64, 3)), init_ids)
 
-    miou0, hit0 = _train_miou(model, variables, root)
-
     steps = 120
     state = create_train_state(model, variables, total_steps=10 * steps, base_lr=1e-3,
                                lr_multi=1.0)
@@ -140,11 +139,122 @@ def test_stage1_overfit_improves_train_miou(learnable_root):
             if it >= steps:
                 break
 
-    trained = {"params": state.params, "batch_stats": state.batch_stats}
-    miou1, hit1 = _train_miou(model, trained, root)
+    return {
+        "model": model, "critic": critic, "variables0": variables,
+        "critic_vars": critic_vars, "losses": losses,
+        "trained": {"params": state.params, "batch_stats": state.batch_stats},
+    }
+
+
+def test_stage1_overfit_improves_train_miou(learnable_root, stage1_trained):
+    """Overfit steps on the learnable fixture must lift train-split mIoU
+    clearly above the untrained model's (which emits all-zero relu maps ->
+    mIoU 0; measured: ~13.5 mIoU after 120 steps)."""
+    root, _ = learnable_root
+    model = stage1_trained["model"]
+    losses = stage1_trained["losses"]
+
+    miou0, hit0 = _train_miou(model, stage1_trained["variables0"], root)
+    miou1, hit1 = _train_miou(model, stage1_trained["trained"], root)
 
     assert losses[-1] < 0.8 * losses[0], f"loss did not drop: {losses[0]} -> {losses[-1]}"
     assert miou1 > miou0 + 8.0, f"train mIoU did not improve: {miou0:.2f} -> {miou1:.2f}"
+
+
+def test_pipeline_adds_value_end_to_end(learnable_root, stage1_trained, tmp_path):
+    """The quantitative claim behind the reference's stages 2-4
+    (/root/reference/README.md:96-152), on the synthetic fixture (VERDICT r4
+    next #4): PRMS CAMs dumped from the TRAINED stage-1 -> CRF ir labels ->
+    IRNet affinity training -> random-walk instance pseudo-masks -> stage-2
+    trained on those pseudo-masks must evaluate BETTER than (a) the stage-1
+    response maps it distilled from and (b) an untrained stage-2 floor, on
+    the same protocol (train-split validate()).
+
+    Measured at these seeds: stage-1 maps 13.45 mIoU, untrained stage-2
+    floor 5.83, stage-2-on-pseudo 15.08 — the CRF+walk sharpen the coarse
+    response blobs to the color rectangles and stage-2 learns from the
+    sharpened supervision. Margins asserted well inside the measured gaps."""
+    import json
+
+    from tris_tpu.data.dataset import Loader, ReferSegDataset
+    from tris_tpu.eval.validate import validate, validate_prms
+    from tris_tpu.models.stage2 import Stage2Config, TRISStage2
+    from tris_tpu.pseudo.pipeline import (
+        PseudoConfig, run_cam_to_ir_label, run_make_ins_seg, run_train_irn,
+    )
+    from tris_tpu.train.stage2 import Stage2TrainConfig
+    from tris_tpu.train.stage2 import make_train_step as make_step2
+    from tris_tpu.train.state import create_train_state
+
+    root, _ = learnable_root
+    model = stage1_trained["model"]
+    trained1 = stage1_trained["trained"]
+
+    eval_ds = ReferSegDataset(root, split="train", size=64, eval_mode=True)
+    eval_loader = Loader(eval_ds, batch_size=2, shuffle=False, drop_last=False,
+                         num_threads=1)
+    miou_s1 = validate(model, trained1, eval_loader, with_boxes=False,
+                       log=lambda *a: None)["mIoU"]
+    assert miou_s1 > 8.0, f"stage-1 maps too weak to drive the chain: {miou_s1:.2f}"
+
+    # 2) PRMS CAM dump from the TRAINED model (not random CAMs as the fast
+    # CLI e2e uses) — the reference's validate.py:253-387 contract
+    cam_dir = str(tmp_path / "cam")
+    name_dir = str(tmp_path / "names")
+    validate_prms(model, stage1_trained["critic"], trained1,
+                  stage1_trained["critic_vars"], eval_loader,
+                  save_cam=True, cam_save_dir=cam_dir, name_save_dir=name_dir,
+                  dataset_name="refcoco", log=lambda *a: None)
+    names = json.load(open(tmp_path / "names" / "refcoco_train_names.json"))
+    assert len(names) == 6
+
+    # 3) the IRNet pipeline on those CAMs
+    cfg = PseudoConfig(
+        train_list=str(tmp_path / "names" / "refcoco_train_names.json"),
+        data_root=f"{root}/train2014",
+        cam_dir=cam_dir,
+        ir_label_dir=str(tmp_path / "ir_label"),
+        ins_seg_dir=str(tmp_path / "ins_seg"),
+        irn_weights=str(tmp_path / "irn.msgpack"),
+        crop_size=64, radius=5, exp_times=3, num_workers=2,
+    )
+    run_cam_to_ir_label(cfg, parallel=False)
+    irn_vars = run_train_irn(cfg, epochs=1, batch_size=2, lr=0.01, log=lambda *a: None)
+    run_make_ins_seg(cfg, variables=irn_vars, log=lambda *a: None)
+
+    # 4) stage 2 on the pseudo-masks
+    model2 = TRISStage2(Stage2Config(clip_override=TINY_RESNET_CLIP))
+    key = jax.random.PRNGKey(0)
+    init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init_ids = jnp.zeros((1, 20), jnp.int32).at[:, 0].set(49406).at[:, 2].set(49407)
+    variables2 = model2.init(key, init_img, init_ids, train=True)
+    miou_floor = validate(model2, variables2, eval_loader, with_boxes=False,
+                          log=lambda *a: None)["mIoU"]
+
+    ds2 = ReferSegDataset(root, split="train", size=64, pseudo_path=cfg.ins_seg_dir)
+    loader2 = Loader(ds2, batch_size=6, shuffle=True, drop_last=False, num_threads=1)
+    steps2 = 150
+    state2 = create_train_state(model2, variables2, total_steps=10 * steps2,
+                                base_lr=2e-3, lr_multi=1.0, stage="stage2")
+    step2 = make_step2(model2, Stage2TrainConfig(use_ema=False), donate=False)
+    it = 0
+    while it < steps2:
+        for batch in loader2.epoch(it):
+            state2, _ = step2(state2, batch)
+            it += 1
+            if it >= steps2:
+                break
+    trained2 = {"params": state2.params, "batch_stats": state2.batch_stats}
+    miou_s2 = validate(model2, trained2, eval_loader, with_boxes=False,
+                       log=lambda *a: None)["mIoU"]
+
+    # the chain must ADD value: beat the stage-1 maps it distilled from
+    # (measured gap +1.6) and clear the untrained floor by a wide margin
+    assert miou_s2 > miou_s1 + 0.5, (
+        f"stage 2 on pseudo-masks ({miou_s2:.2f}) did not beat the stage-1 "
+        f"response maps ({miou_s1:.2f})")
+    assert miou_s2 > miou_floor + 5.0, (
+        f"stage 2 barely above untrained floor: {miou_floor:.2f} -> {miou_s2:.2f}")
 
 
 def test_stage2_overfits_pseudo_masks(rng):
