@@ -635,31 +635,23 @@ def bench_irntrain() -> dict:
     state = create_irn_state(model, variables, tcfg, max_step=10 ** 6)
     step = make_irn_train_step(model, path_index, donate=True)
 
-    # labels are synthesized ON DEVICE (the tensors are ~MBs/example — far too
-    # big to push through the relay like numpy arrays): same math as
-    # pseudo/aug.py::affinity_labels_from_indices on a random {bg, fg, ignore}
-    # quarter-scale map, with only the (one-time) pair indices transferred
-    idx_from = jnp.asarray(path_index.src_indices)   # [n_pairs]
-    idx_to = jnp.asarray(path_index.dst_indices)     # [n_dirs, n_pairs]
-
+    # production feed (round 5): a random {bg, fg, ignore} quarter-scale
+    # label map per example; the step itself builds the pair masks on device
+    # (train_irn.py::affinity_labels_on_device — so the bench times the
+    # in-step label build too). Host-mask tensors are ~24 MB/example, far too
+    # big to push through the relay, which is exactly why the production
+    # feed ships the 16 KB map instead.
     def mk_batch(k, lead=()):
         k1, k2 = jax.random.split(k)
         shape = (*lead, batch)
 
         @jax.jit
         def build(k1, k2):
-            u = jax.random.uniform(k1, (*shape, (size // 4) * (size // 4)))
+            u = jax.random.uniform(k1, (*shape, size // 4, size // 4))
             lab = jnp.where(u < 0.45, 0, jnp.where(u < 0.80, 1, 255)).astype(jnp.int32)
-            lab_from = jnp.take(lab, idx_from, axis=-1)[..., None, :]
-            lab_to = jnp.take(lab, idx_to.reshape(-1), axis=-1).reshape(
-                *shape, *idx_to.shape)
-            valid = (lab_from < 21) & (lab_to < 21)
-            pos = (lab_from == lab_to) & valid
             return {
                 "image": jax.random.normal(k2, (*shape, size, size, 3), jnp.float32),
-                "aff_bg_pos": (pos & (lab_from == 0)).astype(jnp.float32),
-                "aff_fg_pos": (pos & (lab_from > 0)).astype(jnp.float32),
-                "aff_neg": (~(lab_from == lab_to) & valid).astype(jnp.float32),
+                "reduced_label": lab,
             }
 
         return build(k1, k2)

@@ -426,3 +426,63 @@ def test_irnet_bf16_trunk_option(irnet_setup):
     bf_leaves = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vbf)
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: a == b, ref_leaves, bf_leaves))
+
+
+def test_affinity_labels_on_device_match_host(rng):
+    """The in-step device label build (train_irn.py::affinity_labels_on_device,
+    fed a 16 KB quarter-scale label map) must produce EXACTLY the host
+    tensors (pseudo/aug.py::affinity_labels_from_indices, ~24 MB/example) —
+    it replaces them as the default feed."""
+    from tris_tpu.pseudo.train_irn import affinity_labels_on_device
+
+    pi = our_idx.PathIndex(5, (16, 16))
+    labs = np.stack([
+        rng.choice(np.array([0, 1, 255], np.uint8), (16, 16), p=[0.45, 0.35, 0.2])
+        for _ in range(3)
+    ])
+    bg_d, fg_d, neg_d = affinity_labels_on_device(jnp.asarray(labs, jnp.int32), pi)
+    for i in range(3):
+        bg_h, fg_h, neg_h = affinity_labels_from_indices(
+            labs[i], pi.src_indices, pi.dst_indices)
+        np.testing.assert_array_equal(np.asarray(bg_d)[i], bg_h)
+        np.testing.assert_array_equal(np.asarray(fg_d)[i], fg_h)
+        np.testing.assert_array_equal(np.asarray(neg_d)[i], neg_h)
+
+
+def test_irn_loss_reduced_label_equals_host_labels(rng):
+    """One irn_loss evaluation fed ``reduced_label`` must equal the same
+    batch fed precomputed host masks — identical losses AND gradients (the
+    two feeds differ only in where the masks are built)."""
+    from tris_tpu.pseudo.aug import affinity_labels_from_indices
+    from tris_tpu.pseudo.train_irn import irn_loss
+
+    crop, radius, B = 64, 4, 2
+    pi = our_idx.PathIndex(radius, (crop // 4, crop // 4))
+    model = IRNet()
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, crop, crop, 3), np.float32))
+    imgs = rng.standard_normal((B, crop, crop, 3)).astype(np.float32)
+    labs = np.stack([
+        rng.choice(np.array([0, 1, 255], np.uint8), (crop // 4, crop // 4),
+                   p=[0.45, 0.35, 0.2]) for _ in range(B)])
+    host = {"image": imgs}
+    host["aff_bg_pos"], host["aff_fg_pos"], host["aff_neg"] = (
+        np.stack(t) for t in zip(*[
+            affinity_labels_from_indices(l, pi.src_indices, pi.dst_indices)
+            for l in labs]))
+    dev = {"image": imgs, "reduced_label": labs.astype(np.int32)}
+
+    def loss_and_grad(batch):
+        (l, m), g = jax.value_and_grad(irn_loss, has_aux=True)(
+            variables["params"], variables.get("batch_stats", {}), model, pi, batch)
+        return float(l), m, g
+
+    l_h, m_h, g_h = loss_and_grad(host)
+    l_d, m_d, g_d = loss_and_grad(dev)
+    assert l_h == l_d, (l_h, l_d)
+    for k in m_h:
+        assert float(m_h[k]) == float(m_d[k]), k
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_h),
+            jax.tree_util.tree_leaves_with_path(g_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(p1))

@@ -50,6 +50,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     threads = [int(t) for t in sys.argv[2:]] or [1, 4, 8]
     batch_size = int(os.environ.get("TRIS_IRN_BATCH", 24))
+    labels = os.environ.get("TRIS_IRN_LABELS", "device")  # 'device' | 'host'
 
     import tempfile
 
@@ -61,9 +62,10 @@ def main():
         cfg = PseudoConfig(data_root=img_dir, ir_label_dir=lab_dir, crop_size=512)
         pi = PathIndex(cfg.radius, (cfg.crop_size // 4, cfg.crop_size // 4))
 
+        print(f"labels={labels} (TRIS_IRN_LABELS)")
         for nt in threads:
             gen = irn_train_batches(cfg, names, pi, batch_size, epochs=1,
-                                    num_threads=nt)
+                                    num_threads=nt, labels=labels)
             b0 = next(gen)  # warm: thread spin-up + first batch
             t0 = time.perf_counter()
             nb = 0

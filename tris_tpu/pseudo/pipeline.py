@@ -115,7 +115,8 @@ def run_cam_to_ir_label(cfg: PseudoConfig, names: Optional[List[str]] = None, pa
 
 def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_size: int,
                       epochs: int, seed: int = 1234, num_threads: Optional[int] = None,
-                      process_index: int = 0, process_count: int = 1):
+                      process_index: int = 0, process_count: int = 1,
+                      labels: str = "device"):
     """Yield augmented affinity-training batches (ReferAffinityDataset
     equivalent: rescale(0.5,1.5) + hflip + random crop 512, quarter-scale
     labels -> affinity labels).
@@ -136,6 +137,14 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
     examples so every process yields the SAME number of batches — a multihost
     step is a collective, so ragged per-process batch counts would deadlock.
     ``batch_size`` stays the PER-PROCESS batch (parallel/mesh.py semantics).
+
+    ``labels="device"`` (default) yields the quarter-scale ir label map
+    (``reduced_label`` [B, h4, w4] int32, 16 KB/example) and the jitted step
+    builds the pair masks on device
+    (train_irn.py::affinity_labels_on_device); ``labels="host"`` yields the
+    three precomputed mask tensors (~24 MB/example — measured round 5 as
+    most of the 3.6 s/batch host cost AND an untenable ~0.5 GB/batch of H2D
+    through the TPU relay). Values are identical either way.
     """
     import queue
     import threading
@@ -171,7 +180,7 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
             idxs = np.concatenate([idxs, np.resize(order, batch_size - len(idxs))])
         rng = np.random.default_rng(
             (seed * 1000003 + epoch * 131 + b + process_index * 97003) % (2 ** 63))
-        imgs, bgs, fgs, negs = [], [], [], []
+        imgs, reduceds, bgs, fgs, negs = [], [], [], [], []
         for i in idxs:
             name = names[i]
             img = load_raw_image(cfg, name)
@@ -181,19 +190,24 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
             img, label = random_lr_flip_pair(img, label, rng)
             img, label = random_crop_pair(img, label, cfg.crop_size, rng)
             reduced = pil_rescale(label, 0.25, 0)
-            bg, fg, neg = affinity_labels_from_indices(
-                reduced, path_index.src_indices, path_index.dst_indices
-            )
             imgs.append(img)
-            bgs.append(bg)
-            fgs.append(fg)
-            negs.append(neg)
-        return {
-            "image": np.stack(imgs).astype(np.float32),
-            "aff_bg_pos": np.stack(bgs),
-            "aff_fg_pos": np.stack(fgs),
-            "aff_neg": np.stack(negs),
-        }
+            if labels == "device":
+                reduceds.append(reduced.astype(np.int32))
+            else:
+                bg, fg, neg = affinity_labels_from_indices(
+                    reduced, path_index.src_indices, path_index.dst_indices
+                )
+                bgs.append(bg)
+                fgs.append(fg)
+                negs.append(neg)
+        out = {"image": np.stack(imgs).astype(np.float32)}
+        if labels == "device":
+            out["reduced_label"] = np.stack(reduceds)
+        else:
+            out["aff_bg_pos"] = np.stack(bgs)
+            out["aff_fg_pos"] = np.stack(fgs)
+            out["aff_neg"] = np.stack(negs)
+        return out
 
     tasks = [(e, b) for e in range(epochs) for b in range(nb_per_epoch)]
     if num_threads <= 1 or len(tasks) <= 1:

@@ -88,15 +88,47 @@ def create_irn_state(model: IRNet, variables, cfg: IRNTrainConfig, max_step: int
     )
 
 
+def affinity_labels_on_device(reduced_label: jnp.ndarray, path_index: PathIndex):
+    """Quarter-scale ir label maps [B, h4, w4] (or [B, h4*w4]) int32 ->
+    (bg_pos, fg_pos, neg) [B, n_dirs, n_pairs] float32 — the device twin of
+    ``pseudo/aug.py::affinity_labels_from_indices`` (voc12/dataloader.py:
+    83-109), two gathers per batch.
+
+    Feeding the raw label map and building the pair masks INSIDE the jitted
+    step is the TPU-shaped feed: the host-built masks are ~24 MB/example
+    (3 x n_dirs x n_pairs f32) — ~0.5 GB/batch of H2D at the reference's
+    bs 24, and most of the measured 3.6 s/batch host build cost — while the
+    label map is 16 KB. Values are IDENTICAL (pinned by
+    tests/test_pseudo.py::test_affinity_labels_on_device_match_host).
+    """
+    B = reduced_label.shape[0]
+    lab = reduced_label.reshape(B, -1).astype(jnp.int32)
+    lab_from = jnp.take(lab, jnp.asarray(path_index.src_indices), axis=-1)[:, None, :]
+    idx_to = jnp.asarray(path_index.dst_indices)              # [n_dirs, n_pairs]
+    lab_to = jnp.take(lab, idx_to.reshape(-1), axis=-1).reshape(B, *idx_to.shape)
+    valid = (lab_from < 21) & (lab_to < 21)
+    equal = lab_from == lab_to
+    pos = equal & valid
+    return ((pos & (lab_from == 0)).astype(jnp.float32),
+            (pos & (lab_from > 0)).astype(jnp.float32),
+            ((~equal) & valid).astype(jnp.float32))
+
+
 def irn_loss(params, batch_stats, model, path_index: PathIndex, batch):
     edge_out, dp_out = model.apply(
         {"params": params, "batch_stats": batch_stats}, batch["image"]
     )
     pos_aff, neg_aff, dp_fg, dp_bg = affinity_displacement_losses(edge_out, dp_out, path_index)
 
-    bg_pos = batch["aff_bg_pos"].reshape(pos_aff.shape)
-    fg_pos = batch["aff_fg_pos"].reshape(pos_aff.shape)
-    neg = batch["aff_neg"].reshape(neg_aff.shape)
+    if "reduced_label" in batch:
+        bg_pos, fg_pos, neg = affinity_labels_on_device(batch["reduced_label"], path_index)
+        bg_pos = bg_pos.reshape(pos_aff.shape)
+        fg_pos = fg_pos.reshape(pos_aff.shape)
+        neg = neg.reshape(neg_aff.shape)
+    else:
+        bg_pos = batch["aff_bg_pos"].reshape(pos_aff.shape)
+        fg_pos = batch["aff_fg_pos"].reshape(pos_aff.shape)
+        neg = batch["aff_neg"].reshape(neg_aff.shape)
 
     bg_pos_loss = (bg_pos * pos_aff).sum() / (bg_pos.sum() + 1e-5)
     fg_pos_loss = (fg_pos * pos_aff).sum() / (fg_pos.sum() + 1e-5)
@@ -104,8 +136,8 @@ def irn_loss(params, batch_stats, model, path_index: PathIndex, batch):
     neg_loss = (neg * neg_aff).sum() / (neg.sum() + 1e-5)
 
     B = pos_aff.shape[0]
-    fg4 = batch["aff_fg_pos"].reshape(B, 1, *dp_fg.shape[2:])
-    bg4 = batch["aff_bg_pos"].reshape(B, 1, *dp_bg.shape[2:])
+    fg4 = fg_pos.reshape(B, 1, *dp_fg.shape[2:])
+    bg4 = bg_pos.reshape(B, 1, *dp_bg.shape[2:])
     dp_fg_loss = (dp_fg * fg4).sum() / (2 * fg_pos.sum() + 1e-5)
     dp_bg_loss = (dp_bg * bg4).sum() / (2 * bg_pos.sum() + 1e-5)
 
