@@ -124,8 +124,10 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
     Batches are built by ``num_threads`` worker threads (default
     ``cfg.num_workers``) and yielded in order while the device trains on the
     previous one — the reference feeds this trainer with DataLoader workers
-    (train_irn.py:33-45); a single-threaded synchronous build costs ~0.3 s of
-    host work per bs-24 batch and starves the step. A short final batch wraps
+    (train_irn.py:33-45); a single-threaded synchronous build costs ~1.3 s of
+    host work per bs-24 batch (measured, COCO-shaped images, device-label
+    feed — docs/PERF_NOTES.md round 5) and would starve the ~0.6 s device
+    step. A short final batch wraps
     around to the epoch's first samples instead of being dropped, keeping one
     compiled batch shape while consuming every example. Deterministic given
     (seed, epoch, batch): every example's augs draw from a per-batch stream,
