@@ -120,3 +120,45 @@ def test_loader_process_sharding(fake_root):
         for batch in loader.epoch(0):
             ids.append(int(batch["word_ids"][0, 1]))
     assert len(ids) == 6  # all examples covered exactly once across processes
+
+
+def test_device_normalize_matches_host(fake_root):
+    """The u8 feed's on-device normalize (ops/normalize.py) must reproduce
+    the host LUT ((v/255 - mean) / std) to float rounding for every u8 value,
+    and the u8 dataset mode must ship exactly the pre-normalize bytes."""
+    import jax.numpy as jnp
+
+    from tris_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from tris_tpu.ops.normalize import image_input_to_f32
+
+    v = np.arange(256, dtype=np.uint8)
+    u8 = np.stack([v, v, v], axis=-1)[None]  # [1, 256, 3] per-channel sweep
+    host = ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    dev = np.asarray(image_input_to_f32(jnp.asarray(u8)))
+    np.testing.assert_allclose(dev, host, atol=1e-6)  # fused-multiply rounding, ~2 ulp at |2.1|
+    # float input passes through untouched
+    f32 = host.astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(image_input_to_f32(jnp.asarray(f32))), f32)
+
+
+def test_u8_feed_matches_f32_feed(fake_root):
+    """ReferSegDataset(u8_images=True) ships resized uint8; normalizing it
+    on device must equal the f32 feed's host-normalized image to float
+    rounding (same decode + resize bytes underneath)."""
+    import jax.numpy as jnp
+
+    from tris_tpu.ops.normalize import image_input_to_f32
+
+    root, _ = fake_root
+    ds_f32 = ReferSegDataset(root, split="train", size=64)
+    ds_u8 = ReferSegDataset(root, split="train", size=64, u8_images=True)
+    rng = np.random.default_rng(0)
+    ex_u8 = ds_u8.train_example(0, np.random.default_rng(0))
+    ex_f32 = ds_f32.train_example(0, rng)
+    assert ex_u8["image"].dtype == np.uint8
+    dev = np.asarray(image_input_to_f32(jnp.asarray(ex_u8["image"])))
+    np.testing.assert_allclose(dev, ex_f32["image"], atol=1e-6)
+
+    loader = Loader(ds_u8, batch_size=2, shuffle=False, drop_last=False, num_threads=1)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["image"].dtype == np.uint8

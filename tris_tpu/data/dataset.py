@@ -45,6 +45,7 @@ class ReferSegDataset:
         eval_mode: bool = False,
         negative_samples: int = 0,
         pseudo_path: Optional[str] = None,
+        u8_images: Optional[bool] = None,
     ):
         self.refer = REFER(refer_data_root, dataset, splitBy)
         self.split = split
@@ -53,6 +54,12 @@ class ReferSegDataset:
         self.eval_mode = eval_mode
         self.negative_samples = negative_samples
         self.pseudo_path = pseudo_path
+        # u8 feed: ship resized uint8 images and normalize on device
+        # (ops/normalize.py) — 4x less H2D + collate memcpy. Default from
+        # TRIS_U8_FEED (off: the f32 feed is the parity-exact reference path).
+        if u8_images is None:
+            u8_images = os.environ.get("TRIS_U8_FEED", "0") == "1"
+        self.u8_images = u8_images
 
         self.ref_ids: List[int] = self.refer.getRefIds(split=split)
         self.refid2index = {r: i for i, r in enumerate(self.ref_ids)}
@@ -101,6 +108,10 @@ class ReferSegDataset:
     def load_image_array(self, index: int) -> np.ndarray:
         info = self.ref_info(index)
         path = os.path.join(self.refer.IMAGE_DIR, info["img"]["file_name"])
+        if self.u8_images:
+            from tris_tpu.data.transforms import load_transformed_u8
+
+            return load_transformed_u8(path, self.size)
         return load_transformed(path, self.size)
 
     def numeric_image_id(self, index: int) -> int:

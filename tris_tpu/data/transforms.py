@@ -60,6 +60,29 @@ def load_transformed(path: str, size: int, normalize: bool = True) -> np.ndarray
     return image_to_array(load_image(path), size, normalize=normalize)
 
 
+def load_transformed_u8(path: str, size: int) -> np.ndarray:
+    """Decode + bilinear-resize to [size, size, 3] uint8, WITHOUT normalizing.
+
+    The u8 feed (``TRIS_U8_FEED=1``): the Loader ships 1 byte/pixel and the
+    train/eval step normalizes on device (ops/normalize.py) — 4x less
+    host->device traffic and batch-assembly memcpy than the f32 feed, at the
+    cost of the normalize moving inside the XLA program (identical math in
+    f32; bounded-ulp vs the host LUT, test-pinned). Resize still happens on
+    the host in u8 (PIL semantics, byte-identical input to the normalize)."""
+    nat = _native_jpeg()
+    if nat is not None and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            raw = nat.jpeg_decode(data)
+            if raw is not None:
+                return np.asarray(
+                    Image.fromarray(raw).resize((size, size), Image.BILINEAR))
+        except Exception:
+            pass
+    return np.asarray(load_image(path).resize((size, size), Image.BILINEAR))
+
+
 def image_to_array(img: Image.Image, size: int, normalize: bool = True) -> np.ndarray:
     """PIL image -> [size, size, 3] float32, normalized."""
     img = img.resize((size, size), Image.BILINEAR)

@@ -241,7 +241,10 @@ def make_eval_forward(model):
 
     @jax.jit
     def forward(variables, image, word_ids):
-        return model.apply(variables, image, word_ids, method="response_maps")
+        from tris_tpu.ops.normalize import image_input_to_f32
+
+        return model.apply(variables, image_input_to_f32(image), word_ids,
+                           method="response_maps")
 
     return forward
 
@@ -259,8 +262,10 @@ def make_prms_forward(model, critic):
 
     @jax.jit
     def forward(variables, critic_vars, image, word_ids, valid):
+        from tris_tpu.ops.normalize import image_input_to_f32
         from tris_tpu.ops.resize import bilinear_resize
 
+        image = image_input_to_f32(image)  # u8 feed (TRIS_U8_FEED)
         B, S, L = word_ids.shape
         H, W = image.shape[1], image.shape[2]
         flat_ids = word_ids.reshape(B * S, L)

@@ -56,7 +56,9 @@ def stage1_loss(
     weights: Stage1LossWeights,
 ):
     """Returns (loss, (new_batch_stats, metrics))."""
-    image = batch["image"]
+    from tris_tpu.ops.normalize import image_input_to_f32
+
+    image = image_input_to_f32(batch["image"])  # u8 feed (TRIS_U8_FEED)
     word_ids = batch["word_ids"]
     B = image.shape[0]
 

@@ -29,7 +29,9 @@ class Stage2TrainConfig:
 
 def stage2_loss(params, batch_stats, ema_params, ema_batch_stats, model, batch,
                 cfg: Stage2TrainConfig):
-    image = batch["image"]
+    from tris_tpu.ops.normalize import image_input_to_f32
+
+    image = image_input_to_f32(batch["image"])  # u8 feed (TRIS_U8_FEED)
     word_ids = batch["word_ids"]
     pseudo = batch["pseudo"]  # [B, H, W, 1] float/int
 
