@@ -623,8 +623,8 @@ def bench_irntrain() -> dict:
     size = int(os.environ.get("TRIS_BENCH_SIZE", 512))
     iters = int(os.environ.get("TRIS_BENCH_ITERS", 20))
     # the step is heavy (bs-24 fwd/bwd at 512px) so dispatch overhead is a
-    # small fraction; labels are ~8 MB/example on device (152 x 13090 pairs
-    # x 3 tensors), so a long chain would hold GBs — 2 is enough
+    # small fraction; a chained batch holds images (~3 MB/example f32) plus
+    # 16 KB label maps, so chain=2 keeps the resident batch modest
     chain = int(os.environ.get("TRIS_BENCH_CHAIN", 2))
 
     path_index = PathIndex(10, (size // 4, size // 4))

@@ -410,4 +410,31 @@ int tris_jpeg_decode_resize_norm(const uint8_t* buf, size_t len, int size,
 #endif
 }
 
+// Fused decode + square bilinear resize to [size, size, 3] uint8 (NO
+// normalize) — the u8 feed's host half (TRIS_U8_FEED: normalization happens
+// on device, ops/normalize.py). Byte-identical to PIL decode ->
+// resize(BILINEAR) (same fixed-point resampler as tris_resize_bilinear_u8).
+// fast != 0 enables DCT-domain scaling (approximate). orig_hw receives the
+// pre-resize size. Returns 0 ok, -1 decode error, -2 not compiled in.
+int tris_jpeg_decode_resize_u8(const uint8_t* buf, size_t len, int size,
+                               int fast, uint8_t* out, int32_t* orig_hw) {
+#ifdef TRIS_HAVE_JPEG
+  std::vector<uint8_t> px;
+  int h, w, oh, ow;
+  int rc = decode_rgb(buf, len, fast, size, size, &px, &h, &w, &oh, &ow);
+  if (rc != 0) return rc;
+  orig_hw[0] = oh;
+  orig_hw[1] = ow;
+  if (h == size && w == size) {
+    std::memcpy(out, px.data(), px.size());
+    return 0;
+  }
+  resize_u8(px.data(), h, w, 3, size, size, out);
+  return 0;
+#else
+  (void)buf; (void)len; (void)size; (void)fast; (void)out; (void)orig_hw;
+  return -2;
+#endif
+}
+
 }  // extern "C"

@@ -263,3 +263,26 @@ def test_native_decode_disabled_by_env(rng, tmp_path, monkeypatch):
     monkeypatch.setenv("TRIS_NATIVE_DECODE", "0")
     ref = transforms.image_to_array(transforms.load_image(path), 32)
     np.testing.assert_array_equal(transforms.load_transformed(path, 32), ref)
+
+
+@pytest.mark.skipif(not jpeg_built, reason="built without libjpeg")
+def test_fused_decode_resize_u8_bitwise_matches_pil_chain(rng, tmp_path):
+    """The u8 feed's host half (TRIS_U8_FEED): the fused native decode +
+    u8 resize must be BYTE-identical to PIL decode -> resize(BILINEAR), and
+    the Loader-facing wrapper must route through it."""
+    from PIL import Image
+
+    from tris_tpu.data.transforms import load_image, load_transformed_u8
+
+    for i, (h, w, gray) in enumerate([(480, 640, False), (375, 500, True)]):
+        path = str(tmp_path / f"u8img{i}.jpg")
+        with open(path, "wb") as f:
+            f.write(_jpeg_bytes(_smooth_rgb(rng, h, w, gray)))
+        ref = np.asarray(load_image(path).resize((320, 320), Image.BILINEAR))
+        with open(path, "rb") as f:
+            res = native.jpeg_decode_resize_u8(f.read(), 320)
+        assert res is not None
+        out, (oh, ow) = res
+        assert (oh, ow) == (h, w) and out.dtype == np.uint8
+        np.testing.assert_array_equal(out, ref)
+        np.testing.assert_array_equal(load_transformed_u8(path, 320), ref)

@@ -20,9 +20,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
-
-
 def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 480
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 40
@@ -36,10 +33,10 @@ def main():
 
     from tests.fixtures import make_fake_refcoco
     from tris_tpu.data.dataset import Loader, ReferSegDataset
-    from tris_tpu.models.clip import CLIP, CLIPConfig, CLIP_CONFIGS
+    from tris_tpu.models.clip import CLIP, CLIP_CONFIGS
     from tris_tpu.models.stage1 import Stage1Config, TRISStage1
     from tris_tpu.parallel.mesh import create_mesh_for_batch, shard_batch
-    from tris_tpu.train.stage1 import Stage1LossWeights, make_train_step
+    from tris_tpu.train.stage1 import make_train_step
     from tris_tpu.train.state import create_train_state
 
     tmp = tempfile.mkdtemp(prefix="e2e_rate_")

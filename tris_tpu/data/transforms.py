@@ -74,7 +74,11 @@ def load_transformed_u8(path: str, size: int) -> np.ndarray:
         try:
             with open(path, "rb") as f:
                 data = f.read()
-            raw = nat.jpeg_decode(data)
+            fast = os.environ.get("TRIS_FAST_DECODE", "0") == "1"
+            res = nat.jpeg_decode_resize_u8(data, size, fast=fast)
+            if res is not None:
+                return res[0]
+            raw = nat.jpeg_decode(data)  # older .so: unfused decode
             if raw is not None:
                 return np.asarray(
                     Image.fromarray(raw).resize((size, size), Image.BILINEAR))

@@ -49,6 +49,10 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.c_size_t, i,
         ctypes.c_void_p, ctypes.c_void_p, i, f32p, i32p]
     lib.tris_jpeg_decode_resize_norm.restype = i
+    if hasattr(lib, "tris_jpeg_decode_resize_u8"):  # older .so builds lack it
+        lib.tris_jpeg_decode_resize_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, i, i, u8p, i32p]
+        lib.tris_jpeg_decode_resize_u8.restype = i
     return lib
 
 
@@ -146,6 +150,23 @@ def jpeg_decode_resize_norm(data: bytes, size: int, mean=None, std=None,
         mp, sp = None, None
     rc = lib.tris_jpeg_decode_resize_norm(data, len(data), size, mp, sp,
                                           int(fast), out, hw)
+    if rc != 0:
+        return None
+    return out, (int(hw[0]), int(hw[1]))
+
+
+def jpeg_decode_resize_u8(data: bytes, size: int, fast: bool = False):
+    """Fused JPEG decode + square bilinear resize to uint8 (no normalize) —
+    the u8 feed's host half (TRIS_U8_FEED; device normalizes,
+    ops/normalize.py). Byte-identical to PIL decode -> resize(BILINEAR)
+    (test-pinned); returns (uint8 [size, size, 3], (orig_h, orig_w)) or None
+    for the PIL fallback."""
+    lib = _lib()
+    if not hasattr(lib, "tris_jpeg_decode_resize_u8"):
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    hw = np.zeros(2, np.int32)
+    rc = lib.tris_jpeg_decode_resize_u8(data, len(data), size, int(fast), out, hw)
     if rc != 0:
         return None
     return out, (int(hw[0]), int(hw[1]))

@@ -42,7 +42,6 @@ class FrozenBatchNorm(nn.Module):
 
     features: int
     epsilon: float = 1e-5
-    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -194,7 +194,10 @@ def irn_train_batches(cfg: PseudoConfig, names: List[str], path_index, batch_siz
             reduced = pil_rescale(label, 0.25, 0)
             imgs.append(img)
             if labels == "device":
-                reduceds.append(reduced.astype(np.int32))
+                # uint8 on the wire (values are {0, 1, 255}): the 128x128
+                # quarter grid is exactly 16 KB/example; the device build
+                # widens to int32 itself
+                reduceds.append(reduced.astype(np.uint8))
             else:
                 bg, fg, neg = affinity_labels_from_indices(
                     reduced, path_index.src_indices, path_index.dst_indices
