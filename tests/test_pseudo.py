@@ -486,3 +486,30 @@ def test_irn_loss_reduced_label_equals_host_labels(rng):
             jax.tree_util.tree_leaves_with_path(g_d)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=jax.tree_util.keystr(p1))
+
+
+def test_path_max_slices_exact(rng):
+    """The static-slice path-max (indexing.py::path_max_affinity_slices) must
+    reproduce the flat-gather edge_to_affinity EXACTLY — same elements, same
+    max — for both the batched training shape and the walk's unbatched
+    padded-edge shape."""
+    # training shape: [B, h, w]
+    pi = our_idx.PathIndex(5, (20, 24))
+    edge = jnp.asarray(rng.random((3, 20, 24)).astype(np.float32))
+    ref = our_idx.edge_to_affinity(edge.reshape(3, -1), pi.path_indices)
+    groups = our_idx.path_max_affinity_slices(edge, pi)
+    got = jnp.concatenate([g.reshape(3, -1) for g in groups], axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # walk shape: unbatched padded edge at the padded PathIndex
+    H, W, radius = 24, 20, 5
+    pi_pad = our_idx._padded_path_index(radius, (H + radius, W + 2 * radius))
+    ep = jnp.asarray(rng.random((H + radius, W + 2 * radius)).astype(np.float32))
+    grids = []
+    for ind in pi_pad.path_indices:
+        gathered = ep.reshape(-1)[jnp.asarray(ind)]
+        grids.append(1.0 - gathered.max(axis=1))
+    ref_w = np.concatenate([np.asarray(g) for g in grids], axis=0)
+    got_w = np.concatenate(
+        [np.asarray(g) for g in our_idx.path_max_affinity_slices(ep, pi_pad)], axis=0)
+    np.testing.assert_array_equal(got_w, ref_w)

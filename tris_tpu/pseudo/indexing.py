@@ -107,6 +107,39 @@ def edge_to_affinity(edge_flat: jnp.ndarray, path_indices: Sequence[np.ndarray])
     return jnp.concatenate([a.reshape(a.shape[0], -1) for a in affs], axis=1)
 
 
+def path_max_affinity_slices(edge2d: jnp.ndarray, path_index: "PathIndex") -> List[jnp.ndarray]:
+    """``1 - max(edge along path)`` per pair via STATIC SLICES.
+
+    Each entry of a path's flat index array is the window
+    ``full[dy:dy+ch, rf+dx:rf+dx+cw]`` (see :meth:`PathIndex._path_indices`),
+    so the gather ``edge_flat[:, ind]`` is exactly a 2D slice of the edge map
+    — and slices are what the TPU wants: pure copies that XLA fuses into the
+    surrounding max/elementwise, with a pad-add transpose in the backward,
+    instead of serial VPU gathers with a scatter-add backward (measured: the
+    IRN training step's affinity term was gather-bound, docs/PERF_NOTES.md
+    round 5). Identical values to :func:`edge_to_affinity` (same elements,
+    same max; pinned by tests/test_pseudo.py::test_path_max_slices_exact).
+
+    edge2d: [..., H, W] -> list (per path-length group) of
+    [..., n_paths, ch*cw], concat-ready in the gather formulation's order.
+    """
+    H, W = edge2d.shape[-2:]
+    rf = path_index.radius_floor
+    ch, cw = H - rf, W - 2 * rf
+    lead = edge2d.shape[:-2]
+    groups = []
+    for paths in path_index.paths_by_length:
+        per = []
+        for path in paths:  # [plen, 2] (dy, dx) offsets
+            vals = jnp.stack(
+                [edge2d[..., dy : dy + ch, rf + dx : rf + dx + cw]
+                 for dy, dx in path], axis=0)
+            per.append(vals.max(axis=0))
+        group = jnp.stack(per, axis=-3)  # [..., n_paths, ch, cw]
+        groups.append(1.0 - group.reshape(*lead, len(paths), ch * cw))
+    return groups
+
+
 def affinity_to_dense(aff: jnp.ndarray, src: np.ndarray, dst: np.ndarray, n: int) -> jnp.ndarray:
     """Symmetric dense [n, n] affinity with unit diagonal from sparse pair values.
 
@@ -432,11 +465,10 @@ def _walk_program(radius: int, H: int, W: int, beta: float, exp_times: int,
         edge_padded = jnp.pad(edge, ((0, radius), (radius, radius)),
                               constant_values=1.0)
         if banded_ok:
-            grids = []
-            for ind in pi.path_indices:
-                gathered = edge_padded.reshape(-1)[jnp.asarray(ind)]
-                grids.append(1.0 - gathered.max(axis=1))  # [n_paths, n_pairs]
-            aff_grids = jnp.concatenate(grids, axis=0).reshape(-1, ch, cw)
+            # static-slice path max (identical values to the flat-gather
+            # formulation — see path_max_affinity_slices)
+            groups = path_max_affinity_slices(edge_padded, pi)
+            aff_grids = jnp.concatenate(groups, axis=0).reshape(-1, ch, cw)
             if band_prefix:
                 # Band-domain prefix (opt-in, TRIS_WALK_BANDPREFIX — measured
                 # SLOWER than the dense prefix on TPU, see _walk_defaults):

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from tris_tpu.ops.resize import bilinear_resize
-from tris_tpu.pseudo.indexing import PathIndex, edge_to_affinity
+from tris_tpu.pseudo.indexing import PathIndex, path_max_affinity_slices
 
 
 class FrozenBatchNorm(nn.Module):
@@ -205,8 +205,12 @@ def affinity_displacement_losses(
     [B, 2, n_dirs, n_pairs], dp_bg_loss).
     """
     B = edge_out.shape[0]
-    edge_flat = jax.nn.sigmoid(edge_out[..., 0]).reshape(B, -1)
-    aff = edge_to_affinity(edge_flat, path_index.path_indices)
+    edge2d = jax.nn.sigmoid(edge_out[..., 0])  # [B, h4, w4]
+    # static-slice path max (bit-identical to the gather formulation; the
+    # gathers and their scatter-add backward were the step's hotspot —
+    # indexing.py::path_max_affinity_slices, PERF_NOTES round 5)
+    groups = path_max_affinity_slices(edge2d, path_index)
+    aff = jnp.concatenate([g.reshape(B, -1) for g in groups], axis=1)
     pos_aff_loss = -jnp.log(aff + 1e-5)
     neg_aff_loss = -jnp.log(1.0 + 1e-5 - aff)
 
