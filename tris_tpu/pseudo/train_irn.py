@@ -102,10 +102,20 @@ def affinity_labels_on_device(reduced_label: jnp.ndarray, path_index: PathIndex)
     tests/test_pseudo.py::test_affinity_labels_on_device_match_host).
     """
     B = reduced_label.shape[0]
-    lab = reduced_label.reshape(B, -1).astype(jnp.int32)
-    lab_from = jnp.take(lab, jnp.asarray(path_index.src_indices), axis=-1)[:, None, :]
-    idx_to = jnp.asarray(path_index.dst_indices)              # [n_dirs, n_pairs]
-    lab_to = jnp.take(lab, idx_to.reshape(-1), axis=-1).reshape(B, *idx_to.shape)
+    H, W = path_index.size
+    lab = reduced_label.reshape(B, H, W).astype(jnp.int32)
+    # static slices, not gathers: src_indices is the window full[:ch, rf:rf+cw]
+    # and dst_indices[d] the window shifted by search_dst[d] (see
+    # PathIndex._path_indices) — the flat-gather formulation's jnp.take over
+    # ~2M indices lowered to ~50 ms of serial while/dynamic-update-slice
+    # chains per step (per-op profile, docs/PERF_NOTES.md round 5)
+    rf = path_index.radius_floor
+    ch, cw = H - rf, W - 2 * rf
+    lab_from = lab[:, :ch, rf : rf + cw].reshape(B, 1, ch * cw)
+    lab_to = jnp.stack(
+        [lab[:, dy : dy + ch, rf + dx : rf + dx + cw]
+         for dy, dx in path_index.search_dst], axis=1
+    ).reshape(B, len(path_index.search_dst), ch * cw)
     valid = (lab_from < 21) & (lab_to < 21)
     equal = lab_from == lab_to
     pos = equal & valid
